@@ -1,0 +1,66 @@
+"""CostRegNet: 4-level 3D U-Net over (D, H, W) cost volumes, NDHWC layout.
+
+Parity target: cva_mvsnet/models/module.py:534-600. Encoder strides 2 at each
+level (the deepest level uses stride (1,2,2) when D==4, module.py:554-567),
+decoder is torch-ConvTranspose3d-equivalent deconvs with skip additions, and a
+final 3x3x3 single-channel logit conv without bias.
+"""
+
+from __future__ import annotations
+
+import jax.numpy as jnp
+from flax import linen as nn
+
+from .layers import ConvBnRelu, DeconvBnRelu
+
+
+class CostRegNet(nn.Module):
+    base_channels: int = 8
+    normalization: str = "batchnorm"
+    has_four_depths: bool = False
+    dtype: jnp.dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x, train: bool = False):
+        b = self.base_channels
+        kw = dict(ndim=3, normalization=self.normalization, dtype=self.dtype)
+        s5 = (1, 2, 2) if self.has_four_depths else 2
+        op5 = (0, 1, 1) if self.has_four_depths else 1
+
+        conv0 = ConvBnRelu(b, 3, padding=1, name="conv0", **kw)(x, train)
+        conv2 = ConvBnRelu(2 * b, 3, padding=1, name="conv2", **kw)(
+            ConvBnRelu(2 * b, 3, stride=2, padding=1, name="conv1", **kw)(conv0, train), train)
+        conv4 = ConvBnRelu(4 * b, 3, padding=1, name="conv4", **kw)(
+            ConvBnRelu(4 * b, 3, stride=2, padding=1, name="conv3", **kw)(conv2, train), train)
+        x = ConvBnRelu(8 * b, 3, padding=1, name="conv6", **kw)(
+            ConvBnRelu(8 * b, 3, stride=s5, padding=1, name="conv5", **kw)(conv4, train), train)
+
+        x = conv4 + DeconvBnRelu(4 * b, stride=s5, output_padding=op5,
+                                 name="conv7", **kw)(x, train)
+        x = conv2 + DeconvBnRelu(2 * b, name="conv9", **kw)(x, train)
+        x = conv0 + DeconvBnRelu(b, name="conv11", **kw)(x, train)
+
+        logits = nn.Conv(1, (3, 3, 3), padding=[(1, 1)] * 3, use_bias=False,
+                         dtype=self.dtype, name="prob")(x)
+        return logits  # (B, D, H, W, 1)
+
+
+class VolumeGate(nn.Module):
+    """Self-adaptive view-aggregation gate (Yi et al. PVA-MVSNet style):
+    Conv3d(C->1, 1x1x1)+BN+ReLU then Conv3d(1->1, 1x1x1)+BN+ReLU.
+    Parity target: cva_mvsnet/models/cva_mvsnet.py:76-83."""
+    dtype: jnp.dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x, train: bool = False):
+        y = nn.Conv(1, (1, 1, 1), use_bias=True, dtype=self.dtype,
+                    name="gate0")(x)
+        y = nn.BatchNorm(use_running_average=not train, momentum=0.9,
+                         epsilon=1e-5, dtype=jnp.float32, name="bn0")(y)
+        y = nn.relu(y)
+        y = nn.Conv(1, (1, 1, 1), use_bias=True, dtype=self.dtype,
+                    name="gate1")(y)
+        y = nn.BatchNorm(use_running_average=not train, momentum=0.9,
+                         epsilon=1e-5, dtype=jnp.float32, name="bn1")(y)
+        y = nn.relu(y)
+        return y  # (B, D, H, W, 1)

@@ -1,0 +1,97 @@
+"""Differentiable plane-sweep homography warp.
+
+TPU-native re-design of the reference warp (cva_mvsnet/models/module.py:764-908):
+for every reference pixel and depth hypothesis, project into the source view via
+K_src [R|t]_src^-1 . ([R|t]_ref K_ref^-1) and bilinearly sample source features.
+
+Differences from the reference implementation (behaviour preserved):
+- NHWC feature layout; output is (B, D, H, W, C) ready for NDHWC 3D convs.
+- Division by the projected z is made safe with a tiny clamp; the reference
+  instead produces NaN/Inf and post-hoc zeroes them (module.py:890-891). Both
+  paths yield zeros for those pixels because the negative-depth mask wipes them.
+- The validity mask uses the identical bounds: z >= min_depth_thres and
+  |x_norm| <= 1 + 1/(W-1), |y_norm| <= 1 + 1/(H-1) (module.py:861-869).
+"""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+
+from .grid_sample import bilinear_sample_pixel
+
+
+def _pixel_projection_matrix(K, world_to_cam):
+    """4x4 world->pixel matrix: rows 0..2 = K @ [R|t], row 3 = (0,0,0,1).
+
+    K: (B, 3, 3); world_to_cam: (B, 4, 4) -> (B, 4, 4)
+    """
+    top = jnp.einsum("bij,bjk->bik", K, world_to_cam[:, :3, :4])
+    return jnp.concatenate([top, world_to_cam[:, 3:4, :]], axis=1)
+
+
+def plane_sweep_warp(src_features, ref_depth, *, src_K, src_cam_to_world,
+                     ref_K, ref_cam_to_world, min_depth_thres: float = 0.001):
+    """Warp source features over reference depth hypotheses.
+
+    :param src_features: (B, H, W, C)
+    :param ref_depth: (B, D, H, W) depth hypotheses in the reference frame
+    :param src_K, ref_K: (B, 3, 3)
+    :param src_cam_to_world, ref_cam_to_world: (B, 4, 4)
+    :return: warped (B, D, H, W, C), mask_valid (B, D, H, W) same dtype
+    """
+    B, H, W, C = src_features.shape
+    D = ref_depth.shape[1]
+    f32 = jnp.float32
+
+    ref_w2c = _rigid_inverse(ref_cam_to_world.astype(f32))
+    src_w2c = _rigid_inverse(src_cam_to_world.astype(f32))
+    ref_w2p = _pixel_projection_matrix(ref_K.astype(f32), ref_w2c)
+    src_w2p = _pixel_projection_matrix(src_K.astype(f32), src_w2c)
+    # ref pixel -> src pixel (B, 4, 4); general inverse: ref_w2p is not rigid.
+    ref_p2w = jnp.linalg.inv(ref_w2p)
+    ref_to_src = jnp.einsum("bij,bjk->bik", src_w2p, ref_p2w)
+    rot = ref_to_src[:, :3, :3]
+    trans = ref_to_src[:, :3, 3]
+
+    # Homogeneous pixel rays (3, H*W) with integer pixel centers.
+    xs = jnp.arange(W, dtype=f32)
+    ys = jnp.arange(H, dtype=f32)
+    gx, gy = jnp.meshgrid(xs, ys)  # (H, W)
+    xyz = jnp.stack([gx.reshape(-1), gy.reshape(-1),
+                     jnp.ones(H * W, dtype=f32)])  # (3, H*W)
+
+    rot_xyz = jnp.einsum("bij,jn->bin", rot, xyz)  # (B, 3, H*W)
+    depth = ref_depth.reshape(B, 1, D, H * W).astype(f32)
+    proj = rot_xyz[:, :, None, :] * depth + trans[:, :, None, None]  # (B,3,D,HW)
+
+    z = proj[:, 2]
+    z_safe = jnp.where(jnp.abs(z) < 1e-12, 1e-12, z)
+    px = proj[:, 0] / z_safe  # (B, D, H*W)
+    py = proj[:, 1] / z_safe
+
+    x_norm = px / (0.5 * (W - 1)) - 1.0
+    y_norm = py / (0.5 * (H - 1)) - 1.0
+    mask_negative = z < min_depth_thres
+    x_bound = 1.0 + 1.0 / (W - 1)
+    y_bound = 1.0 + 1.0 / (H - 1)
+    mask_outside = (jnp.abs(x_norm) > x_bound) | (jnp.abs(y_norm) > y_bound)
+
+    warped = bilinear_sample_pixel(
+        src_features, px.reshape(B, D * H * W), py.reshape(B, D * H * W))
+    warped = warped.reshape(B, D, H, W, C)
+    # Zero out rays that hit behind the source camera (module.py:883-887).
+    warped = warped * (~mask_negative).reshape(B, D, H, W, 1).astype(warped.dtype)
+
+    mask_valid = (~(mask_negative | mask_outside)).reshape(B, D, H, W)
+    return warped, mask_valid.astype(src_features.dtype)
+
+
+def _rigid_inverse(T):
+    R = T[..., :3, :3]
+    t = T[..., :3, 3:]
+    Rt = jnp.swapaxes(R, -1, -2)
+    top = jnp.concatenate([Rt, -Rt @ t], -1)
+    bottom = jnp.broadcast_to(
+        jnp.array([0.0, 0.0, 0.0, 1.0], dtype=T.dtype), top.shape[:-2] + (1, 4))
+    return jnp.concatenate([top, bottom], -2)

@@ -1,0 +1,37 @@
+"""Test configuration: force CPU with 8 virtual devices BEFORE jax import.
+
+Mirrors the reference's debug-ddp trick (train.py:75-89) — same code, fake
+topology — so multi-chip sharding tests run on any host.
+"""
+
+import os
+
+os.environ["JAX_PLATFORMS"] = "cpu"
+flags = os.environ.get("XLA_FLAGS", "")
+if "host_platform_device_count" not in flags:
+    os.environ["XLA_FLAGS"] = (
+        flags + " --xla_force_host_platform_device_count=8").strip()
+
+import jax  # noqa: E402
+
+# The environment pins JAX_PLATFORMS=axon via sitecustomize; the config update
+# is authoritative and restores CPU for tests.
+jax.config.update("jax_platforms", "cpu")
+
+import numpy as np  # noqa: E402
+import pytest  # noqa: E402
+
+REFERENCE_DIR = "/root/reference/cva_mvsnet"
+
+
+def reference_available() -> bool:
+    return os.path.isdir(REFERENCE_DIR)
+
+
+requires_reference = pytest.mark.skipif(
+    not reference_available(), reason="reference repo not mounted")
+
+
+@pytest.fixture(scope="session")
+def rng():
+    return np.random.RandomState(1234)

@@ -1,0 +1,129 @@
+"""Full-model parity: reference torch CvaMVSNet vs tandem_tpu flax CvaMVSNet.
+
+The golden contract of the reference is dr_mvsnet_test's mean-abs-error < 1e-2
+on depth and confidence (tandem/libdr/dr_mvsnet/src/dr_mvsnet.cpp:505-521). We
+hold ourselves to a tighter bound with randomly initialised weights converted
+torch -> flax.
+"""
+
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+
+from tests.conftest import requires_reference
+from tandem_tpu.models.cva_mvsnet import CvaMVSNet
+from tandem_tpu.models.torch_convert import convert_state_dict
+
+
+def _random_inputs(rng, B=1, V=3, H=64, W=96):
+    image = rng.rand(B, V, 3, H, W).astype(np.float32)
+    # Small camera motion around identity; K for a 64x80 image.
+    K = np.array([[70.0, 0, (W - 1) / 2], [0, 70.0, (H - 1) / 2], [0, 0, 1]],
+                 np.float32)
+    Ks = []
+    for scale in (0.25, 0.5, 1.0):
+        Ks_ = K.copy()
+        Ks_[:2] *= scale
+        Ks.append(np.broadcast_to(Ks_, (B, 3, 3)).copy())
+    c2w = np.zeros((B, V, 4, 4), np.float32)
+    for b in range(B):
+        for v in range(V):
+            angle = 0.03 * (v - 1)
+            c, s = np.cos(angle), np.sin(angle)
+            R = np.array([[c, 0, s], [0, 1, 0], [-s, 0, c]], np.float32)
+            t = np.array([0.12 * (v - 1), 0.02 * v, 0.03 * v], np.float32)
+            c2w[b, v, :3, :3] = R
+            c2w[b, v, :3, 3] = t
+            c2w[b, v, 3, 3] = 1
+    depth_min = np.full((B,), 0.5, np.float32)
+    depth_max = np.full((B,), 6.0, np.float32)
+    return image, Ks, c2w, depth_min, depth_max
+
+
+@requires_reference
+@pytest.mark.parametrize("view_aggregation", [False, True])
+def test_model_parity(rng, view_aggregation):
+    import torch
+    from tests.torch_ref import import_reference_models, state_dict_numpy
+
+    _, ref_cva = import_reference_models()
+
+    torch.manual_seed(1234)
+    ref_model = ref_cva.CvaMVSNet(
+        depth_num=(48, 32, 8), depth_interval_ratio=(1.0, 0.5, 0.25),
+        feature_net_base_channels=8, cost_volume_base_channels=(8, 8, 8),
+        view_aggregation=view_aggregation)
+    ref_model.eval()
+
+    image, Ks, c2w, dmin, dmax = _random_inputs(rng)
+
+    with torch.no_grad():
+        ref_out = ref_model(
+            image=torch.from_numpy(image),
+            intrinsic_matrix=ref_cva.StageTensor(*[torch.from_numpy(k) for k in Ks]),
+            cam_to_world=torch.from_numpy(c2w),
+            depth_min=torch.from_numpy(dmin),
+            depth_max=torch.from_numpy(dmax))
+
+    model = CvaMVSNet(view_aggregation=view_aggregation)
+    variables = convert_state_dict(state_dict_numpy(ref_model),
+                                   view_aggregation=view_aggregation)
+    variables = jax.tree_util.tree_map(jnp.asarray, variables)
+
+    out = model.apply(
+        variables, jnp.asarray(image),
+        tuple(jnp.asarray(k) for k in Ks), jnp.asarray(c2w),
+        jnp.asarray(dmin), jnp.asarray(dmax), train=False)
+
+    for i, stage in enumerate(("stage1", "stage2", "stage3")):
+        ref_depth = ref_out[i].depth.numpy()
+        ref_conf = ref_out[i].confidence.numpy()
+        got_depth = np.asarray(getattr(out, stage).depth)
+        got_conf = np.asarray(getattr(out, stage).confidence)
+        mae_depth = np.abs(ref_depth - got_depth).mean()
+        mae_conf = np.abs(ref_conf - got_conf).mean()
+        assert mae_depth < 1e-3, f"{stage} depth MAE {mae_depth}"
+        assert mae_conf < 1e-3, f"{stage} confidence MAE {mae_conf}"
+
+
+@requires_reference
+def test_model_parity_with_edge_filter(rng):
+    import torch
+    from tests.torch_ref import import_reference_models, state_dict_numpy
+
+    _, ref_cva = import_reference_models()
+    torch.manual_seed(7)
+    ref_model = ref_cva.CvaMVSNet(view_aggregation=True)
+    ref_model.eval()
+
+    image, Ks, c2w, dmin, dmax = _random_inputs(rng)
+    discard = np.full((1,), 10.0, np.float32)
+
+    with torch.no_grad():
+        ref_out = ref_model(
+            image=torch.from_numpy(image),
+            intrinsic_matrix=ref_cva.StageTensor(*[torch.from_numpy(k) for k in Ks]),
+            cam_to_world=torch.from_numpy(c2w),
+            depth_min=torch.from_numpy(dmin),
+            depth_max=torch.from_numpy(dmax),
+            depth_filter_discard_percentage=torch.from_numpy(discard))
+
+    model = CvaMVSNet(view_aggregation=True)
+    variables = jax.tree_util.tree_map(
+        jnp.asarray, convert_state_dict(state_dict_numpy(ref_model)))
+    out = model.apply(
+        variables, jnp.asarray(image),
+        tuple(jnp.asarray(k) for k in Ks), jnp.asarray(c2w),
+        jnp.asarray(dmin), jnp.asarray(dmax),
+        depth_filter_discard_percentage=jnp.asarray(discard), train=False)
+
+    for i, stage in enumerate(("stage1", "stage2", "stage3")):
+        ref_depth = ref_out[i].depth.numpy()
+        got_depth = np.asarray(getattr(out, stage).depth)
+        mae = np.abs(ref_depth - got_depth).mean()
+        assert mae < 5e-3, f"{stage} filtered depth MAE {mae}"
+        ref_dense = ref_out[i].depth_dense.numpy()
+        got_dense = np.asarray(getattr(out, stage).depth_dense)
+        assert np.abs(ref_dense - got_dense).mean() < 1e-3
