@@ -9,6 +9,13 @@ from __future__ import annotations
 
 import jax
 import jax.numpy as jnp
+from jax import lax
+
+_PREC = lax.Precision.HIGHEST
+
+
+def _mm(a, b):
+    return jnp.matmul(a, b, precision=_PREC)
 
 _EPS = 1e-8
 
@@ -33,7 +40,7 @@ def so3_exp(w):
     B = jnp.where(small, 0.5 - theta2 / 24.0, (1.0 - jnp.cos(theta)) / theta2)
     W = _hat(w)
     I = jnp.broadcast_to(jnp.eye(3, dtype=w.dtype), W.shape)
-    return I + A[..., None, None] * W + B[..., None, None] * (W @ W)
+    return I + A[..., None, None] * W + B[..., None, None] * _mm(W, W)
 
 
 def so3_log(R):
@@ -62,9 +69,9 @@ def se3_exp(xi):
     C = jnp.where(small, 1.0 / 6.0 - theta2 / 120.0, (1.0 - A) / theta2)
     W = _hat(w)
     I = jnp.broadcast_to(jnp.eye(3, dtype=xi.dtype), W.shape)
-    R = I + A[..., None, None] * W + B[..., None, None] * (W @ W)
-    V = I + B[..., None, None] * W + C[..., None, None] * (W @ W)
-    t = jnp.einsum("...ij,...j->...i", V, v)
+    R = I + A[..., None, None] * W + B[..., None, None] * _mm(W, W)
+    V = I + B[..., None, None] * W + C[..., None, None] * _mm(W, W)
+    t = jnp.einsum("...ij,...j->...i", V, v, precision=_PREC)
     top = jnp.concatenate([R, t[..., None]], -1)
     bottom = jnp.broadcast_to(
         jnp.array([0.0, 0.0, 0.0, 1.0], dtype=xi.dtype), top.shape[:-2] + (1, 4))
@@ -86,8 +93,8 @@ def se3_log(T):
                   (1.0 - A / (2.0 * B)) / jnp.maximum(theta2, _EPS))
     W = _hat(w)
     I = jnp.broadcast_to(jnp.eye(3, dtype=T.dtype), W.shape)
-    Vinv = I - 0.5 * W + D[..., None, None] * (W @ W)
-    v = jnp.einsum("...ij,...j->...i", Vinv, t)
+    Vinv = I - 0.5 * W + D[..., None, None] * _mm(W, W)
+    v = jnp.einsum("...ij,...j->...i", Vinv, t, precision=_PREC)
     return jnp.concatenate([v, w], -1)
 
 
@@ -96,14 +103,14 @@ def se3_inverse(T):
     R = T[..., :3, :3]
     t = T[..., :3, 3:]
     Rt = jnp.swapaxes(R, -1, -2)
-    top = jnp.concatenate([Rt, -Rt @ t], -1)
+    top = jnp.concatenate([Rt, -_mm(Rt, t)], -1)
     bottom = jnp.broadcast_to(
         jnp.array([0.0, 0.0, 0.0, 1.0], dtype=T.dtype), top.shape[:-2] + (1, 4))
     return jnp.concatenate([top, bottom], -2)
 
 
 def se3_compose(A, B):
-    return A @ B
+    return _mm(A, B)
 
 
 def se3_identity(dtype=jnp.float32):

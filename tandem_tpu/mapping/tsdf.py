@@ -1,0 +1,310 @@
+"""TSDF fusion on TPU: block-paged dense voxel grid + sphere-traced raycast.
+
+TPU-native re-design of the reference's voxel-hashing volume
+(tandem/libdr/dr_fusion/src/tsdfvh/): the GPU hash table + heap free-list
+(hash_table.cu:81-115, heap.cu:15-33) becomes a dense int32 page table over
+quantized block coordinates plus a flat voxel pool — pointer chasing becomes
+array indexing, atomicCAS allocation becomes a cumsum prefix over the
+touched-block mask, and every kernel is a fixed-shape vectorized XLA program.
+
+Behavioural parity notes (tsdf_volume.cu):
+- integrate (IntegrateScanKernel:436-513): per-voxel nearest-pixel projection
+  (round), euclidean ray distances, weighted sdf/color average with weight
+  clamp (voxel.h Combine), truncation-band update sdf = surface - voxel_dist,
+  free-space update sdf = +truncation.
+- allocation (AllocateFromDepthKernel:317-434) traverses camera->surface rays;
+  here only the truncation band around the surface is allocated. Free-space
+  blocks that never see a surface would only ever hold sdf=+truncation, which
+  renders identically to unallocated space (both advance the ray by the
+  truncation distance), so the visible behaviour matches while allocation
+  stays O(pixels).
+- raycast (GenerateRgbDepthKernel:600-632): march along each pixel ray
+  advancing by the interpolated sdf (or truncation where unknown) until
+  sdf < voxel_size; trilinear voxel interpolation with centre-value fallback
+  for empty corners (GetInterpolatedVoxel:161-).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from functools import partial
+from typing import Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from flax import struct
+
+
+@dataclasses.dataclass(frozen=True)
+class TsdfConfig:
+    """Mirrors DrFusionOptions (FullSystem.cpp:259-276): 1 cm voxels, 8^3
+    blocks, 4 cm truncation, max weight 64."""
+    voxel_size: float = 0.01
+    block_size: int = 8
+    table_dim: int = 160           # blocks per axis; arena = dim*block*voxel m
+    pool_size: int = 1 << 16       # max allocated blocks
+    truncation: float = 0.04
+    max_weight: float = 64.0
+    min_depth: float = 0.1
+    max_depth: float = 10.0
+
+    @property
+    def block_extent(self) -> float:
+        return self.voxel_size * self.block_size
+
+
+class TsdfVolume(struct.PyTreeNode):
+    page_table: jnp.ndarray    # (T^3,) int32, -1 = unallocated
+    block_coords: jnp.ndarray  # (pool, 3) int32 signed block coordinates
+    tsdf: jnp.ndarray          # (pool, 512) float32
+    weight: jnp.ndarray        # (pool, 512) float32
+    color: jnp.ndarray         # (pool, 512, 3) float32 [0, 255]
+    n_allocated: jnp.ndarray   # () int32
+
+
+def create_volume(cfg: TsdfConfig) -> TsdfVolume:
+    p, b3 = cfg.pool_size, cfg.block_size ** 3
+    return TsdfVolume(
+        page_table=jnp.full((cfg.table_dim ** 3,), -1, jnp.int32),
+        block_coords=jnp.zeros((p, 3), jnp.int32),
+        tsdf=jnp.zeros((p, b3), jnp.float32),
+        weight=jnp.zeros((p, b3), jnp.float32),
+        color=jnp.zeros((p, b3, 3), jnp.float32),
+        n_allocated=jnp.zeros((), jnp.int32),
+    )
+
+
+def _table_index(cfg: TsdfConfig, block: jnp.ndarray):
+    """block: (..., 3) signed int -> flat table index + validity mask."""
+    T = cfg.table_dim
+    shifted = block + T // 2
+    valid = jnp.all((shifted >= 0) & (shifted < T), axis=-1)
+    sx = jnp.clip(shifted, 0, T - 1)
+    flat = (sx[..., 0] * T + sx[..., 1]) * T + sx[..., 2]
+    return flat, valid
+
+
+def _unproject(u, v, depth, K):
+    """Integer-pixel z-depth unprojection (utils.h GetPoint3d:93-101)."""
+    fx, fy, cx, cy = K[0, 0], K[1, 1], K[0, 2], K[1, 2]
+    x = (u.astype(jnp.float32) - cx) * depth / fx
+    y = (v.astype(jnp.float32) - cy) * depth / fy
+    return jnp.stack([x, y, depth], -1)
+
+
+@partial(jax.jit, static_argnums=(0,), donate_argnums=(1,))
+def allocate_blocks(cfg: TsdfConfig, vol: TsdfVolume, depth, K, cam_to_world):
+    """Allocate pool blocks for the truncation band around the depth surface.
+
+    :param depth: (H, W) metric depth, 0 = invalid
+    :param K: (3, 3); cam_to_world: (4, 4)
+    """
+    H, W = depth.shape
+    d = depth.reshape(-1)
+    valid = (d >= cfg.min_depth) & (d <= cfg.max_depth)
+
+    u = jnp.tile(jnp.arange(W, dtype=jnp.float32), H)
+    v = jnp.repeat(jnp.arange(H, dtype=jnp.float32), W)
+
+    R = cam_to_world[:3, :3]
+    t = cam_to_world[:3, 3]
+
+    # Band samples: half a block apart through [d - trunc, d + trunc].
+    n_samp = 5
+    offsets = jnp.linspace(-cfg.truncation, cfg.truncation, n_samp)
+    blocks = []
+    block_valid = []
+    for off in offsets:
+        pts_cam = _unproject(u, v, d + off, K)  # (HW, 3)
+        pts_w = pts_cam @ R.T + t
+        blk = jnp.floor(pts_w / cfg.block_extent).astype(jnp.int32)
+        blocks.append(blk)
+        block_valid.append(valid)
+    blocks = jnp.concatenate(blocks)            # (n*HW, 3)
+    bvalid = jnp.concatenate(block_valid)
+
+    flat, in_arena = _table_index(cfg, blocks)
+    ok = bvalid & in_arena
+
+    touched = jnp.zeros((cfg.table_dim ** 3,), jnp.bool_)
+    touched = touched.at[jnp.where(ok, flat, cfg.table_dim ** 3)].set(
+        True, mode="drop")
+
+    new = touched & (vol.page_table < 0)
+    order = jnp.cumsum(new.astype(jnp.int32))
+    slot = vol.n_allocated + order - 1          # pool slot per new block
+    can_alloc = new & (slot < cfg.pool_size)
+
+    page_table = jnp.where(can_alloc, slot, vol.page_table)
+
+    # Inverse map: scatter block coords into newly assigned slots.
+    T = cfg.table_dim
+    idx3 = jnp.arange(cfg.table_dim ** 3, dtype=jnp.int32)
+    bx = idx3 // (T * T) - T // 2
+    by = (idx3 // T) % T - T // 2
+    bz = idx3 % T - T // 2
+    coords = jnp.stack([bx, by, bz], -1)
+    scatter_to = jnp.where(can_alloc, slot, cfg.pool_size)  # OOB -> dropped
+    block_coords = vol.block_coords.at[scatter_to].set(coords, mode="drop")
+
+    n_new = jnp.sum(can_alloc.astype(jnp.int32))
+    return vol.replace(page_table=page_table, block_coords=block_coords,
+                       n_allocated=vol.n_allocated + n_new)
+
+
+@partial(jax.jit, static_argnums=(0,), donate_argnums=(1,))
+def integrate(cfg: TsdfConfig, vol: TsdfVolume, depth, color, K, cam_to_world):
+    """Fuse one (depth, color) scan into the volume.
+
+    :param depth: (H, W); color: (H, W, 3) float [0,255] RGB; K: (3,3)
+    """
+    H, W = depth.shape
+    P, B3 = cfg.pool_size, cfg.block_size ** 3
+    b = cfg.block_size
+
+    w2c_R = cam_to_world[:3, :3].T
+    w2c_t = -w2c_R @ cam_to_world[:3, 3]
+
+    # Voxel world positions for every pool slot: (P, B3, 3)
+    li = jnp.arange(B3, dtype=jnp.int32)
+    lx = li % b
+    ly = (li // b) % b
+    lz = li // (b * b)
+    local = jnp.stack([lx, ly, lz], -1)  # (B3, 3), x fastest
+    vox_w = (vol.block_coords[:, None, :] * b + local[None]) * cfg.voxel_size
+
+    vox_cam = vox_w @ w2c_R.T + w2c_t  # (P, B3, 3)
+    z = vox_cam[..., 2]
+
+    fx, fy, cx, cy = K[0, 0], K[1, 1], K[0, 2], K[1, 2]
+    z_safe = jnp.where(z <= 1e-6, 1.0, z)
+    u = jnp.round(fx * vox_cam[..., 0] / z_safe + cx).astype(jnp.int32)
+    v = jnp.round(fy * vox_cam[..., 1] / z_safe + cy).astype(jnp.int32)
+    in_img = (z > 0) & (u >= 0) & (u < W) & (v >= 0) & (v < H)
+
+    slot_active = (jnp.arange(P) < vol.n_allocated)[:, None]
+
+    pix = jnp.where(in_img, v * W + u, 0)
+    d_px = depth.reshape(-1)[pix]                       # (P, B3)
+    c_px = color.reshape(-1, 3)[pix]                    # (P, B3, 3)
+    d_ok = (d_px > 0) & (d_px >= cfg.min_depth) & (d_px < cfg.max_depth)
+
+    # Euclidean distances from the camera origin (IntegrateScanKernel:478-487).
+    surf_pt = _unproject(u, v, d_px, K)
+    surface_dist = jnp.linalg.norm(surf_pt, axis=-1)
+    voxel_dist = jnp.linalg.norm(vox_cam, axis=-1)
+
+    in_band = (voxel_dist > surface_dist - cfg.truncation) & \
+              (voxel_dist < surface_dist + cfg.truncation)
+    in_free = voxel_dist < surface_dist - cfg.truncation
+    update = slot_active & in_img & d_ok & (in_band | in_free)
+
+    sdf_new = jnp.where(in_band, surface_dist - voxel_dist, cfg.truncation)
+
+    w_old = vol.weight
+    denom = w_old + 1.0
+    tsdf = jnp.where(update, (vol.tsdf * w_old + sdf_new) / denom, vol.tsdf)
+    new_color = jnp.where(update[..., None],
+                          (vol.color * w_old[..., None] + c_px) / denom[..., None],
+                          vol.color)
+    weight = jnp.where(update, jnp.minimum(denom, cfg.max_weight), w_old)
+
+    return vol.replace(tsdf=tsdf, weight=weight, color=new_color)
+
+
+def _get_voxels(cfg: TsdfConfig, vol: TsdfVolume, pts_w):
+    """Lookup (sdf, weight, color) at world points. pts_w: (N, 3) ->
+    sdf (N,), weight (N,), color (N, 3). Unallocated -> weight 0."""
+    b = cfg.block_size
+    vox = jnp.floor(pts_w / cfg.voxel_size).astype(jnp.int32)
+    block = jnp.floor(pts_w / cfg.block_extent).astype(jnp.int32)
+    local = vox - block * b
+    local = jnp.clip(local, 0, b - 1)
+    flat_tab, in_arena = _table_index(cfg, block)
+    slot = vol.page_table[flat_tab]                      # (N,)
+    allocated = (slot >= 0) & in_arena
+    slot_safe = jnp.where(allocated, slot, 0)
+    li = (local[:, 2] * b + local[:, 1]) * b + local[:, 0]
+    sdf = vol.tsdf[slot_safe, li]
+    w = jnp.where(allocated, vol.weight[slot_safe, li], 0.0)
+    col = vol.color[slot_safe, li]
+    return sdf, w, col
+
+
+def _get_interpolated(cfg: TsdfConfig, vol: TsdfVolume, pts_w):
+    """Trilinear interpolation with centre fallback
+    (GetInterpolatedVoxel, tsdf_volume.cu:161-)."""
+    vs = cfg.voxel_size
+    sdf0, w0, col0 = _get_voxels(cfg, vol, pts_w)
+
+    frac = pts_w / vs - jnp.floor(pts_w / vs)            # (N, 3)
+    dual = pts_w - 0.5 * vs
+
+    sdf_acc = jnp.zeros_like(sdf0)
+    col_acc = jnp.zeros_like(col0)
+    for ox in (0, 1):
+        for oy in (0, 1):
+            for oz in (0, 1):
+                off = jnp.array([ox, oy, oz], jnp.float32) * vs
+                s, w, c = _get_voxels(cfg, vol, dual + off)
+                use = w > 0
+                s = jnp.where(use, s, sdf0)
+                c = jnp.where(use[:, None], c, col0)
+                wt = (jnp.where(ox, frac[:, 0], 1 - frac[:, 0])
+                      * jnp.where(oy, frac[:, 1], 1 - frac[:, 1])
+                      * jnp.where(oz, frac[:, 2], 1 - frac[:, 2]))
+                sdf_acc = sdf_acc + wt * s
+                col_acc = col_acc + wt[:, None] * c
+    # Centre weight==0 -> empty voxel result (weight 0, sdf 0).
+    return (jnp.where(w0 > 0, sdf_acc, 0.0), w0,
+            jnp.where(w0[:, None] > 0, col_acc, 0.0))
+
+
+@partial(jax.jit, static_argnums=(0, 3, 4))
+def raycast(cfg: TsdfConfig, vol: TsdfVolume, K_and_pose, H: int, W: int):
+    """Render depth + color from a virtual camera by sphere tracing.
+
+    :param K_and_pose: (K (3,3), cam_to_world (4,4))
+    :return: depth (H, W) float32 (0 where no hit), color (H, W, 3)
+    """
+    K, cam_to_world = K_and_pose
+    N = H * W
+    u = jnp.tile(jnp.arange(W, dtype=jnp.float32), H)
+    v = jnp.repeat(jnp.arange(H, dtype=jnp.float32), W)
+    R = cam_to_world[:3, :3]
+    t = cam_to_world[:3, 3]
+
+    fx, fy, cx, cy = K[0, 0], K[1, 1], K[0, 2], K[1, 2]
+    ray_cam = jnp.stack([(u - cx) / fx, (v - cy) / fy, jnp.ones(N)], -1)
+    ray_w = ray_cam @ R.T  # direction scaled so that step == z-depth step
+
+    def lookup(cur):
+        pts = t + ray_w * cur[:, None]
+        return _get_interpolated(cfg, vol, pts)
+
+    def cond(state):
+        cur, hit, it = state
+        active = (~hit) & (cur < cfg.max_depth)
+        return jnp.any(active) & (it < 1024)
+
+    def body(state):
+        cur, hit, it = state
+        sdf, w, _ = lookup(cur)
+        step = jnp.where(w > 0, sdf, cfg.truncation)
+        active = (~hit) & (cur < cfg.max_depth)
+        # The reference advances BEFORE its break check, so the returned depth
+        # includes the final sdf step (GenerateRgbDepthKernel:610-621).
+        cur = jnp.where(active, cur + step, cur)
+        new_hit = hit | (active & (w > 0) & (sdf < cfg.voxel_size))
+        return cur, new_hit, it + 1
+
+    cur = jnp.zeros(N)
+    hit = jnp.zeros(N, jnp.bool_)
+    cur, hit, _ = jax.lax.while_loop(cond, body, (cur, hit, jnp.int32(0)))
+
+    found = hit & (cur < cfg.max_depth)
+    _, _, col = lookup(cur)
+    depth_out = jnp.where(found, cur, 0.0).reshape(H, W)
+    color_out = jnp.where(found[:, None], col, 0.0).reshape(H, W, 3)
+    return depth_out, color_out

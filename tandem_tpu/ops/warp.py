@@ -17,6 +17,9 @@ from __future__ import annotations
 
 import jax
 import jax.numpy as jnp
+from jax import lax
+
+_PREC = lax.Precision.HIGHEST
 
 from .grid_sample import bilinear_sample_pixel
 
@@ -26,7 +29,7 @@ def _pixel_projection_matrix(K, world_to_cam):
 
     K: (B, 3, 3); world_to_cam: (B, 4, 4) -> (B, 4, 4)
     """
-    top = jnp.einsum("bij,bjk->bik", K, world_to_cam[:, :3, :4])
+    top = jnp.einsum("bij,bjk->bik", K, world_to_cam[:, :3, :4], precision=_PREC)
     return jnp.concatenate([top, world_to_cam[:, 3:4, :]], axis=1)
 
 
@@ -50,7 +53,7 @@ def plane_sweep_warp(src_features, ref_depth, *, src_K, src_cam_to_world,
     src_w2p = _pixel_projection_matrix(src_K.astype(f32), src_w2c)
     # ref pixel -> src pixel (B, 4, 4); general inverse: ref_w2p is not rigid.
     ref_p2w = jnp.linalg.inv(ref_w2p)
-    ref_to_src = jnp.einsum("bij,bjk->bik", src_w2p, ref_p2w)
+    ref_to_src = jnp.einsum("bij,bjk->bik", src_w2p, ref_p2w, precision=_PREC)
     rot = ref_to_src[:, :3, :3]
     trans = ref_to_src[:, :3, 3]
 
@@ -61,7 +64,7 @@ def plane_sweep_warp(src_features, ref_depth, *, src_K, src_cam_to_world,
     xyz = jnp.stack([gx.reshape(-1), gy.reshape(-1),
                      jnp.ones(H * W, dtype=f32)])  # (3, H*W)
 
-    rot_xyz = jnp.einsum("bij,jn->bin", rot, xyz)  # (B, 3, H*W)
+    rot_xyz = jnp.einsum("bij,jn->bin", rot, xyz, precision=_PREC)  # (B, 3, H*W)
     depth = ref_depth.reshape(B, 1, D, H * W).astype(f32)
     proj = rot_xyz[:, :, None, :] * depth + trans[:, :, None, None]  # (B,3,D,HW)
 
@@ -91,7 +94,7 @@ def _rigid_inverse(T):
     R = T[..., :3, :3]
     t = T[..., :3, 3:]
     Rt = jnp.swapaxes(R, -1, -2)
-    top = jnp.concatenate([Rt, -Rt @ t], -1)
+    top = jnp.concatenate([Rt, -jnp.matmul(Rt, t, precision=_PREC)], -1)
     bottom = jnp.broadcast_to(
         jnp.array([0.0, 0.0, 0.0, 1.0], dtype=T.dtype), top.shape[:-2] + (1, 4))
     return jnp.concatenate([top, bottom], -2)

@@ -1,0 +1,117 @@
+"""TPU inference runner for CVA-MVSNet — the dr_mvsnet equivalent.
+
+The reference runs a TorchScript trace on a dedicated worker thread + CUDA
+stream with an async CallAsync/GetResult protocol
+(tandem/libdr/dr_mvsnet/src/dr_mvsnet.cpp:20-120,285-331). On TPU the runner
+is a single AOT-compiled jitted function; JAX dispatch is already async, so
+``call_async`` just enqueues the computation and ``get_result`` blocks on the
+transfer — same pipeline semantics, no thread/stream juggling.
+
+Input packing parity (dr_mvsnet.cpp:180-250):
+- views reordered ref-first: [ref, others in original order]
+- BGR uint8 -> RGB float/255
+- per-stage intrinsics by naive 0.25x/0.5x row scaling (incl. the reference's
+  skipped +0.5 correction, see core/camera.py)
+- call-order protocol asserts (CallAsync before GetResult,
+  dr_mvsnet.cpp:100-107,315-318).
+"""
+
+from __future__ import annotations
+
+import time
+from typing import Optional, Sequence, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..core.camera import stage_intrinsics_runtime
+from ..models.cva_mvsnet import CvaMVSNet
+
+
+def init_variables(model: CvaMVSNet, H: int, W: int, view_num: int, seed: int = 0):
+    img = jnp.zeros((1, view_num, 3, H, W), jnp.float32)
+    Ks = tuple(jnp.broadcast_to(jnp.eye(3) * s, (1, 3, 3))
+               for s in (100.0, 200.0, 400.0))
+    c2w = jnp.broadcast_to(jnp.eye(4), (1, view_num, 4, 4))
+    return model.init(jax.random.PRNGKey(seed), img, Ks, c2w,
+                      jnp.full((1,), 0.5), jnp.full((1,), 10.0), train=False)
+
+
+class MvsnetRunner:
+    """Fixed-shape compiled CVA-MVSNet inference with async dispatch."""
+
+    def __init__(self, model: CvaMVSNet, variables, height: int, width: int,
+                 view_num: int = 7, device=None):
+        self.model = model
+        self.height, self.width, self.view_num = height, width, view_num
+        self.device = device or jax.devices()[0]
+        self.variables = jax.device_put(variables, self.device)
+        self._pending = None
+        self._ready = True
+
+        def forward(variables, image, Ks, c2w, dmin, dmax, discard):
+            return model.apply(variables, image, Ks, c2w, dmin, dmax,
+                               depth_filter_discard_percentage=discard,
+                               train=False)
+
+        self._forward = jax.jit(forward)
+
+    # --- packing ---------------------------------------------------------
+    @staticmethod
+    def reorder_ref_first(items: Sequence, ref_index: int) -> list:
+        return [items[ref_index]] + [x for i, x in enumerate(items)
+                                     if i != ref_index]
+
+    def pack_inputs(self, bgrs: Sequence[np.ndarray],
+                    cam_to_worlds: Sequence[np.ndarray], K: np.ndarray,
+                    ref_index: Optional[int] = None):
+        """bgrs: V arrays (H, W, 3) uint8 BGR; cam_to_worlds: V (4, 4)."""
+        V = len(bgrs)
+        assert V == self.view_num
+        ref_index = self.view_num - 2 if ref_index is None else ref_index
+        bgrs = self.reorder_ref_first(list(bgrs), ref_index)
+        poses = self.reorder_ref_first(list(cam_to_worlds), ref_index)
+        rgb = np.stack([b[..., ::-1] for b in bgrs]).astype(np.float32) / 255.0
+        image = np.transpose(rgb, (0, 3, 1, 2))[None]  # (1, V, 3, H, W)
+        K1, K2, K3 = stage_intrinsics_runtime(np.asarray(K, np.float32))
+        Ks = tuple(k[None] for k in (K1, K2, K3))
+        c2w = np.stack(poses)[None].astype(np.float32)
+        return image, Ks, c2w
+
+    # --- async protocol --------------------------------------------------
+    def ready(self) -> bool:
+        return self._ready
+
+    def call_async(self, bgrs, cam_to_worlds, K, depth_min: float,
+                   depth_max: float, discard_percentage: float = 10.0,
+                   ref_index: Optional[int] = None):
+        assert self._ready, "CallAsync called before previous GetResult"
+        self._ready = False
+        image, Ks, c2w = self.pack_inputs(bgrs, cam_to_worlds, K, ref_index)
+        dev_args = jax.device_put(
+            (jnp.asarray(image), tuple(jnp.asarray(k) for k in Ks),
+             jnp.asarray(c2w), jnp.full((1,), depth_min, jnp.float32),
+             jnp.full((1,), depth_max, jnp.float32),
+             jnp.full((1,), discard_percentage, jnp.float32)), self.device)
+        self._pending = self._forward(self.variables, *dev_args)
+
+    def get_result(self):
+        """Blocks until the pending computation finishes; returns stage3
+        depth/confidence (+ dense variants) as numpy (H, W) arrays."""
+        assert not self._ready, "GetResult called before CallAsync"
+        out = self._pending
+        s3 = out.stage3
+        result = {
+            "depth": np.asarray(s3.depth[0]),
+            "confidence": np.asarray(s3.confidence[0]),
+            "depth_dense": np.asarray(s3.depth_dense[0]),
+            "confidence_dense": np.asarray(s3.confidence_dense[0]),
+        }
+        self._pending = None
+        self._ready = True
+        return result
+
+    def wait(self):
+        if self._pending is not None:
+            jax.block_until_ready(self._pending)
