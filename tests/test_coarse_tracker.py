@@ -1,0 +1,120 @@
+"""Coarse tracker: pose recovery on a synthetic textured plane."""
+
+import numpy as np
+import pytest
+
+import jax.numpy as jnp
+
+from tandem_tpu.core.se3 import se3_exp, se3_inverse
+from tandem_tpu.tracking.coarse_tracker import (make_tracker_ref, track_frame,
+                                                splat_depth_to_ref)
+
+H, W = 96, 128
+FX = FY = 90.0
+CX, CY = (W - 1) / 2, (H - 1) / 2
+PLANE_Z = 2.0
+
+
+def tex(x, y):
+    """Smooth world texture on the z=PLANE_Z plane (needs rich gradients)."""
+    return (120 + 50 * np.sin(2.1 * x) * np.cos(1.7 * y) + 30 * np.sin(5.3 * x + 1)
+            + 25 * np.cos(4.3 * y + 2) + 15 * np.sin(9.1 * x * y))
+
+
+def render_plane(c2w):
+    """Render the textured plane from camera pose c2w (4, 4)."""
+    u, v = np.meshgrid(np.arange(W, dtype=np.float64),
+                       np.arange(H, dtype=np.float64))
+    rays = np.stack([(u - CX) / FX, (v - CY) / FY, np.ones_like(u)], -1)
+    R, t = c2w[:3, :3], c2w[:3, 3]
+    rays_w = rays @ R.T
+    # Intersect z = PLANE_Z: t_param = (PLANE_Z - tz) / rz
+    t_param = (PLANE_Z - t[2]) / rays_w[..., 2]
+    pts = t[None, None] + rays_w * t_param[..., None]
+    img = tex(pts[..., 0], pts[..., 1])
+    depth = t_param * 1.0  # z-depth in camera = t_param * rz_cam(=1 in cam z)
+    # depth along camera z: pts_cam_z = t_param (since ray z component is 1)
+    return img.astype(np.float32), depth.astype(np.float32)
+
+
+def test_track_translation_and_rotation():
+    ref_c2w = np.eye(4)
+    ref_img, ref_depth = render_plane(ref_c2w)
+
+    xi = np.array([0.04, -0.02, 0.03, 0.01, -0.015, 0.008], np.float32)
+    new_c2w = np.asarray(se3_exp(jnp.array(xi)))
+    new_img, _ = render_plane(new_c2w)
+
+    idepth = jnp.asarray(1.0 / ref_depth)
+    weight = jnp.ones((H, W))
+    ref = make_tracker_ref(jnp.asarray(ref_img), FX, FY, CX, CY,
+                           sparse_idepth=idepth, sparse_weight=weight)
+
+    out = track_frame(ref, jnp.asarray(new_img), jnp.eye(4),
+                      jnp.zeros(2).at[0].set(1.0))
+    T_est = np.asarray(out["T"])
+    T_gt = np.asarray(se3_inverse(jnp.asarray(new_c2w)))  # ref->new = w2c_new
+
+    err_t = np.abs(T_est[:3, 3] - T_gt[:3, 3])
+    err_R = np.abs(T_est[:3, :3] - T_gt[:3, :3])
+    assert err_t.max() < 5e-3, (T_est, T_gt)
+    assert err_R.max() < 5e-3
+    assert float(out["energy"]) < 10.0
+    # affine close to identity (a=1, b=0)
+    a, b = np.asarray(out["aff"])
+    assert abs(a - 1.0) < 0.05 and abs(b) < 2.0
+
+
+def test_track_affine_brightness():
+    ref_c2w = np.eye(4)
+    ref_img, ref_depth = render_plane(ref_c2w)
+    xi = np.array([0.02, 0.01, -0.01, 0.005, 0.008, -0.004], np.float32)
+    new_c2w = np.asarray(se3_exp(jnp.array(xi)))
+    new_img, _ = render_plane(new_c2w)
+    new_img = 1.2 * new_img + 10.0  # gain + bias change
+
+    ref = make_tracker_ref(jnp.asarray(ref_img), FX, FY, CX, CY,
+                           sparse_idepth=jnp.asarray(1.0 / ref_depth),
+                           sparse_weight=jnp.ones((H, W)))
+    out = track_frame(ref, jnp.asarray(new_img), jnp.eye(4),
+                      jnp.zeros(2).at[0].set(1.0))
+    a, b = np.asarray(out["aff"])
+    assert abs(a - 1.2) < 0.05
+    assert abs(b - 10.0) < 4.0
+    T_est = np.asarray(out["T"])
+    T_gt = np.asarray(se3_inverse(jnp.asarray(new_c2w)))
+    assert np.abs(T_est[:3, 3] - T_gt[:3, 3]).max() < 1e-2
+
+
+def test_track_with_dense_injected_depth():
+    """Sparse points on a coarse grid + dense TSDF-render injection."""
+    ref_c2w = np.eye(4)
+    ref_img, ref_depth = render_plane(ref_c2w)
+    xi = np.array([0.03, 0.0, 0.02, 0.0, 0.01, 0.0], np.float32)
+    new_c2w = np.asarray(se3_exp(jnp.array(xi)))
+    new_img, _ = render_plane(new_c2w)
+
+    # Sparse: only 1 of 64 pixels
+    mask = np.zeros((H, W), np.float32)
+    mask[::8, ::8] = 1.0
+    sparse_id = jnp.asarray(1.0 / ref_depth * mask)
+    sparse_w = jnp.asarray(mask)
+
+    # Dense injection: rendered depth in a *different* camera, splatted back
+    render_c2w = np.eye(4)
+    render_c2w[0, 3] = 0.05
+    rimg, rdepth = render_plane(render_c2w)
+    K = jnp.asarray(np.array([[FX, 0, CX], [0, FY, CY], [0, 0, 1]], np.float32))
+    dense_id, dense_w = splat_depth_to_ref(
+        jnp.asarray(rdepth), jnp.asarray(render_c2w.astype(np.float32)),
+        jnp.asarray(ref_c2w.astype(np.float32)), K, H, W)
+    assert float(dense_w.sum()) > 100
+
+    ref = make_tracker_ref(jnp.asarray(ref_img), FX, FY, CX, CY,
+                           sparse_idepth=sparse_id, sparse_weight=sparse_w,
+                           dense_idepth=dense_id, dense_weight=dense_w)
+    out = track_frame(ref, jnp.asarray(new_img), jnp.eye(4),
+                      jnp.zeros(2).at[0].set(1.0))
+    T_est = np.asarray(out["T"])
+    T_gt = np.asarray(se3_inverse(jnp.asarray(new_c2w)))
+    assert np.abs(T_est[:3, 3] - T_gt[:3, 3]).max() < 1e-2
