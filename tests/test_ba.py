@@ -1,0 +1,113 @@
+"""Windowed photometric BA: convergence on a synthetic multi-frame scene."""
+
+import numpy as np
+import pytest
+
+import jax.numpy as jnp
+
+from tandem_tpu.core.se3 import se3_exp, se3_inverse
+from tandem_tpu.tracking.ba import (BAState, create_ba_state, ba_iterate,
+                                    marginalize_frame, PATTERN, _bilinear)
+from tests.test_coarse_tracker import render_plane, H, W, FX, FY, CX, CY
+
+K = (FX, FY, CX, CY)
+F_SLOTS, N_PTS = 4, 256
+
+
+def _build_scene(rng, pose_noise=0.01, idepth_noise=0.08):
+    xis = [np.zeros(6)]
+    for i in range(1, F_SLOTS):
+        xis.append(np.array([0.05 * i, -0.02 * i, 0.03 * i,
+                             0.01 * i, -0.008 * i, 0.006 * i]))
+    poses_gt = [np.asarray(se3_exp(jnp.array(x, jnp.float32))) for x in xis]
+    frames = [render_plane(p) for p in poses_gt]
+    images = jnp.asarray(np.stack([f[0] for f in frames]))
+
+    state = create_ba_state(F_SLOTS, N_PTS)
+
+    # Points hosted in frames 0 and 1 on a grid
+    pts_f, pts_uv, pts_id, pts_col = [], [], [], []
+    for host in (0, 1):
+        img, depth = frames[host]
+        for y in range(8, H - 8, 10):
+            for x in range(8, W - 8, 10):
+                if len(pts_f) >= N_PTS:
+                    break
+                pts_f.append(host)
+                pts_uv.append((x, y))
+                id_gt = 1.0 / depth[y, x]
+                pts_id.append(id_gt * (1 + idepth_noise * rng.randn()))
+                cols = [img[y + int(dy), x + int(dx)] for dx, dy in PATTERN]
+                pts_col.append(cols)
+    n = len(pts_f)
+
+    # Perturb non-anchor poses
+    poses_init = [poses_gt[0]]
+    for i in range(1, F_SLOTS):
+        dx = pose_noise * rng.randn(6).astype(np.float32)
+        poses_init.append(np.asarray(
+            jnp.asarray(poses_gt[i]) @ se3_exp(jnp.array(dx))))
+
+    state = state._replace(
+        poses=jnp.asarray(np.stack(poses_init), jnp.float32),
+        frame_valid=jnp.ones((F_SLOTS,), bool),
+        pt_frame=jnp.zeros((N_PTS,), jnp.int32).at[:n].set(jnp.array(pts_f)),
+        pt_uv=jnp.zeros((N_PTS, 2)).at[:n].set(jnp.array(pts_uv, jnp.float32)),
+        pt_idepth=jnp.ones((N_PTS,)).at[:n].set(jnp.array(pts_id, jnp.float32)),
+        pt_color=jnp.zeros((N_PTS, 8)).at[:n].set(jnp.array(pts_col, jnp.float32)),
+        pt_valid=jnp.zeros((N_PTS,), bool).at[:n].set(True))
+    return state, images, poses_gt, frames
+
+
+def _pose_err(state, poses_gt, align_scale=True):
+    """Max translation error; monocular photometric BA has a free scale
+    gauge, so optionally align the global scale first (the runtime anchors
+    scale through the marginalization prior instead)."""
+    est = np.stack([np.asarray(state.poses[i])[:3, 3]
+                    for i in range(1, F_SLOTS)])
+    gt = np.stack([poses_gt[i][:3, 3] for i in range(1, F_SLOTS)])
+    if align_scale:
+        s = (est * gt).sum() / np.maximum((est * est).sum(), 1e-12)
+    else:
+        s = 1.0
+    errs = np.abs(s * est - gt)
+    rot_errs = [np.abs(np.asarray(state.poses[i])[:3, :3]
+                       - poses_gt[i][:3, :3]).max() for i in range(1, F_SLOTS)]
+    return max(errs.max(), max(rot_errs))
+
+
+def test_ba_converges(rng):
+    state, images, poses_gt, frames = _build_scene(rng)
+    err0 = _pose_err(state, poses_gt)
+    state2, energy = ba_iterate(state, images, K, iters=8)
+    err1 = _pose_err(state2, poses_gt)
+    assert err1 < err0 * 0.35, (err0, err1)
+    assert err1 < 4e-3
+
+    # idepth converges toward GT (up to the global scale gauge)
+    depth0 = frames[0][1]
+    uv = np.asarray(state2.pt_uv)
+    idp = np.asarray(state2.pt_idepth)
+    hostm = (np.asarray(state2.pt_frame) == 0) & np.asarray(state2.pt_valid)
+    gt_id = 1.0 / depth0[uv[hostm, 1].astype(int), uv[hostm, 0].astype(int)]
+    s = (idp[hostm] * gt_id).sum() / np.maximum((idp[hostm] ** 2).sum(), 1e-12)
+    rel = np.abs(s * idp[hostm] - gt_id) / gt_id
+    assert np.median(rel) < 0.02
+
+
+def test_marginalize_frame(rng):
+    state, images, poses_gt, _ = _build_scene(rng)
+    state, _ = ba_iterate(state, images, K, iters=5)
+    n_before = int(np.asarray(state.pt_valid).sum())
+
+    state2 = marginalize_frame(state, images, K, 1)
+    assert not bool(state2.frame_valid[1])
+    assert int(np.asarray(state2.pt_valid).sum()) < n_before
+    # Prior picked up information (non-zero block outside the dropped frame)
+    Hm = np.asarray(state2.Hm)
+    assert np.abs(Hm).sum() > 0
+    assert np.abs(Hm[8:16]).sum() == 0  # dropped frame rows cleared
+
+    # BA still runs after marginalization
+    state3, energy = ba_iterate(state2, images, K, iters=2)
+    assert np.isfinite(float(energy))
