@@ -60,12 +60,16 @@ def main():
     d, c = forward(*args)
     jax.block_until_ready((d, c))
 
-    iters = 20
-    t0 = time.perf_counter()
+    # Per-iteration sync: async dispatch through the device tunnel can
+    # otherwise under-report (each call must actually complete).
+    iters = 10
+    times = []
     for _ in range(iters):
+        t0 = time.perf_counter()
         d, c = forward(*args)
-    jax.block_until_ready((d, c))
-    dt = (time.perf_counter() - t0) / iters
+        jax.block_until_ready((d, c))
+        times.append(time.perf_counter() - t0)
+    dt = float(np.median(times))
     fps = 1.0 / dt
 
     print(json.dumps({

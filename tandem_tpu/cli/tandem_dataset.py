@@ -1,0 +1,130 @@
+"""Runtime CLI — the reference tandem_dataset equivalent (headless).
+
+Runs the full TANDEM pipeline over an image folder: per-frame dense coarse
+tracking, keyframe windowed BA, CVA-MVSNet depth, TSDF fusion with raycast
+feedback, and mesh output. Writes result.txt / poses_dso.txt /
+keyframes_dso.txt / dso_optimization_windows.txt / mesh.obj / dr_times.txt
+(main_tandem_pangolin.cpp output contract; the Pangolin GUI is replaced by
+file outputs).
+
+Usage:
+  python -m tandem_tpu.cli.tandem_dataset preset=dataset \
+      files=IMG_DIR calib=CAMERA.txt result_folder=OUT \
+      [mvsnet_folder=EXPORTED_DIR] [end=N]
+"""
+
+from __future__ import annotations
+
+import os
+import sys
+import time
+
+import numpy as np
+
+
+def parse_args(argv):
+    """key=value argument chain (commandline.cpp:149-410 style)."""
+    args = {"preset": "dataset", "files": None, "calib": None,
+            "result_folder": "results", "mvsnet_folder": None,
+            "start": 0, "end": -1, "mesh_extraction_freq": 10,
+            "mvsnet_discard_percentage": 10.0, "dr_timing": 0}
+    for a in argv:
+        if "=" not in a:
+            continue
+        k, v = a.split("=", 1)
+        if k in ("start", "end", "mesh_extraction_freq", "dr_timing"):
+            v = int(v)
+        elif k in ("mvsnet_discard_percentage",):
+            v = float(v)
+        args[k] = v
+    return args
+
+
+def read_calib(path):
+    """DSO camera.txt: 'fx fy cx cy 0' + 'w h' (Pinhole only here; other
+    geometric models live in data/undistort.py)."""
+    lines = [ln.strip() for ln in open(path) if ln.strip()]
+    parts = lines[0].split()
+    if parts[0].lower() == "pinhole":
+        parts = parts[1:]
+    fx, fy, cx, cy = [float(x) for x in parts[:4]]
+    w, h = [int(x) for x in lines[1].split()[:2]]
+    return fx, fy, cx, cy, w, h
+
+
+def main(argv=None):
+    args = parse_args(argv if argv is not None else sys.argv[1:])
+    assert args["files"], "files=IMG_DIR required"
+    assert args["calib"], "calib=CAMERA.txt required"
+
+    import cv2
+    import jax.numpy as jnp
+
+    from ..mapping.mesh import save_obj
+    from ..mapping.tsdf import TsdfConfig
+    from ..pipeline.backend import TandemBackend
+    from ..pipeline.full_system import FullSystem, FullSystemOptions
+    from ..pipeline.mvsnet_runner import MvsnetRunner
+    from ..models.cva_mvsnet import CvaMVSNet
+    from ..utils.timer import Timer
+
+    fx, fy, cx, cy, W, H = read_calib(args["calib"])
+    K_mat = np.array([[fx, 0, cx], [0, fy, cy], [0, 0, 1]], np.float32)
+    timer = Timer(enabled=bool(args["dr_timing"]))
+
+    backend = None
+    if args["mvsnet_folder"]:
+        import pickle
+        with open(os.path.join(args["mvsnet_folder"],
+                               "model_variables.pkl"), "rb") as f:
+            variables = pickle.load(f)
+        model = CvaMVSNet(view_aggregation=True, dtype=jnp.bfloat16)
+        runner = MvsnetRunner(model, variables, H, W, view_num=7)
+        # Boot-time golden self-check (FullSystem initDr, dr_mvsnet_test)
+        pack = os.path.join(args["mvsnet_folder"], "sample_inputs.npz")
+        if os.path.exists(pack):
+            from .tandem_export import verify_golden, GOLDEN_TOL
+            err = verify_golden(pack, variables)
+            print(f"MVSNet golden self-check: {err:.2e}")
+            # bf16 runtime vs f32 golden: widen tolerance accordingly
+            assert err < 10 * GOLDEN_TOL
+        cfg = TsdfConfig()
+        backend = TandemBackend(runner, cfg, K_mat, H, W,
+                                mesh_extraction_freq=args["mesh_extraction_freq"],
+                                timer=timer)
+
+    fs = FullSystem(fx, fy, cx, cy, H, W, backend=backend, timer=timer)
+
+    files = sorted(os.listdir(args["files"]))
+    files = [f for f in files if f.lower().endswith((".png", ".jpg", ".jpeg"))]
+    end = len(files) if args["end"] < 0 else min(args["end"], len(files))
+    files = files[args["start"]:end]
+
+    t_start = time.time()
+    for i, fname in enumerate(files):
+        bgr = cv2.imread(os.path.join(args["files"], fname))
+        gray = cv2.cvtColor(bgr, cv2.COLOR_BGR2GRAY).astype(np.float32)
+        fs.add_active_frame(gray, i, float(i) / 30.0, bgr=bgr)
+        if fs.is_lost:
+            print(f"LOST at frame {i}")
+            break
+    elapsed = time.time() - t_start
+
+    out = args["result_folder"]
+    os.makedirs(out, exist_ok=True)
+    fs.write_results(out)
+    if backend is not None:
+        verts, faces, cols = backend.extract_mesh_now()
+        save_obj(os.path.join(out, "mesh.obj"), verts, faces, cols)
+    if args["dr_timing"]:
+        timer.write_to_file(os.path.join(out, "dr_times.txt"))
+
+    n = len(fs.all_poses)
+    # End-of-run FPS block (main_tandem_pangolin.cpp:276-283)
+    print("=" * 30 + " TANDEM TIMING " + "=" * 30)
+    print(f"Frames: {n}; Time: {elapsed:.2f} s; "
+          f"FPS: {n / max(elapsed, 1e-9):.2f}")
+
+
+if __name__ == "__main__":
+    main()

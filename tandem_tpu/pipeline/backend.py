@@ -1,0 +1,131 @@
+"""TANDEM backend: MVSNet -> TSDF integrate -> render lookahead pipeline.
+
+Parity target: tandem/src/tandem/tandem_backend.{h,cpp}. The reference runs a
+worker thread that, for call N, launches MVSNet(N) asynchronously and then
+processes call N-1's results: integrate depth into the TSDF, render a depth
+map at the next tracking reference pose, copy it into a double-buffered
+``TandemCoarseTrackingDepthMap`` (A/B swap under a mutex,
+tandem_backend.cpp:93-96,183-190), and periodically extract a mesh.
+
+On TPU the device work (MVSNet forward, TSDF integrate, raycast) is async XLA
+dispatch on one stream, so the same one-keyframe lookahead emerges from
+ordering the dispatches; the worker thread remains for host-side work and to
+preserve the Ready/Wait drop semantics of the real-time mode
+(FullSystem.cpp:1144-1151).
+"""
+
+from __future__ import annotations
+
+import threading
+from typing import Callable, Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..mapping.tsdf import (TsdfConfig, allocate_blocks, create_volume,
+                            integrate, raycast)
+from ..mapping.mesh import extract_mesh
+from ..utils.timer import Timer
+
+
+class TrackingDepthMap:
+    """Double-buffered rendered depth handed to the coarse tracker
+    (TandemCoarseTrackingDepthMap A/B swap)."""
+
+    def __init__(self):
+        self._lock = threading.Lock()
+        self._buf = [None, None]   # dicts: {'depth', 'c2w', 'valid'}
+        self._read_idx = 0
+
+    def write(self, depth: np.ndarray, c2w: np.ndarray):
+        with self._lock:
+            widx = 1 - self._read_idx
+            self._buf[widx] = {"depth": depth, "c2w": c2w, "valid": True}
+            self._read_idx = widx
+
+    def read(self) -> Optional[dict]:
+        with self._lock:
+            return self._buf[self._read_idx]
+
+
+class TandemBackend:
+    """One-keyframe-lookahead orchestrator."""
+
+    def __init__(self, mvsnet_runner, tsdf_cfg: TsdfConfig, K: np.ndarray,
+                 height: int, width: int, mesh_extraction_freq: int = 10,
+                 timer: Optional[Timer] = None,
+                 mesh_callback: Optional[Callable] = None):
+        self.runner = mvsnet_runner
+        self.cfg = tsdf_cfg
+        self.K = np.asarray(K, np.float32)
+        self.H, self.W = height, width
+        self.mesh_freq = mesh_extraction_freq
+        self.mesh_callback = mesh_callback
+        self.timer = timer or Timer(enabled=False)
+
+        self.volume = create_volume(tsdf_cfg)
+        self.depth_map = TrackingDepthMap()
+        self.call_num = 0
+        self._prev: Optional[dict] = None  # previous call's context
+        self.last_mesh = None
+
+    def ready(self) -> bool:
+        return self.runner.ready() or self._prev is not None
+
+    def call(self, bgrs, cam_to_worlds, depth_min: float, depth_max: float,
+             next_ref_c2w: np.ndarray, discard_percentage: float = 10.0):
+        """Process one keyframe window (CallSequential semantics,
+        tandem_backend.cpp:137-217): finish call N-1, then launch call N."""
+        tid = self.timer.start_timing("backend_call")
+
+        # --- finish previous call -------------------------------------
+        if self._prev is not None:
+            res = self.runner.get_result()   # blocks (overlapped with VO)
+            ref_c2w = self._prev["ref_c2w"]
+            ref_bgr = self._prev["ref_bgr"]
+            depth = jnp.asarray(res["depth"])
+            rgb = jnp.asarray(ref_bgr[..., ::-1].astype(np.float32))
+
+            Kj = jnp.asarray(self.K)
+            pose = jnp.asarray(ref_c2w)
+            self.volume = allocate_blocks(self.cfg, self.volume, depth, Kj,
+                                          pose)
+            self.volume = integrate(self.cfg, self.volume, depth, rgb, Kj,
+                                    pose)
+
+            # Render from the requested next tracking reference pose
+            rdepth, _ = raycast(self.cfg, self.volume,
+                                (Kj, jnp.asarray(next_ref_c2w)),
+                                self.H, self.W)
+            self.depth_map.write(np.asarray(rdepth),
+                                 np.asarray(next_ref_c2w))
+
+            if self.mesh_freq > 0 and self.call_num % self.mesh_freq == 0:
+                self.last_mesh = extract_mesh(self.cfg, self.volume)
+                if self.mesh_callback:
+                    self.mesh_callback(*self.last_mesh)
+            self._prev_result = res
+
+        # --- launch current call --------------------------------------
+        ref_index = self.runner.view_num - 2
+        self.runner.call_async(bgrs, cam_to_worlds, self.K, depth_min,
+                               depth_max, discard_percentage)
+        self._prev = {"ref_c2w": np.asarray(cam_to_worlds[ref_index]),
+                      "ref_bgr": np.asarray(bgrs[ref_index])}
+        self.call_num += 1
+        self.timer.end_timing("backend_call", tid)
+
+    def get_tracking_depth_map(self) -> Optional[dict]:
+        return self.depth_map.read()
+
+    def extract_mesh_now(self):
+        """Extract the current global mesh (the runtime also saves mesh.obj
+        at shutdown, main_tandem_pangolin.cpp:296-303)."""
+        self.last_mesh = extract_mesh(self.cfg, self.volume)
+        if self.mesh_callback:
+            self.mesh_callback(*self.last_mesh)
+        return self.last_mesh
+
+    def wait(self):
+        self.runner.wait()

@@ -1,0 +1,446 @@
+"""FullSystem: the per-frame tracking + mapping pipeline hub.
+
+Parity target: tandem/src/FullSystem/FullSystem.{h,cpp} — addActiveFrame
+(track thread), keyframe creation with windowed BA, marginalization, immature
+point lifecycle, and the TANDEM backend hookup (deliverDrFrame,
+FullSystem.cpp:1122-1198). Host-side orchestration in Python; every hot step
+(coarse tracking, tracing, activation, BA, MVSNet, TSDF) is a jitted
+fixed-shape device computation.
+
+Simplifications vs DSO (documented for later parity work):
+- Monocular initialization alternates coarse tracking (fixed depth) and
+  epipolar tracing (fixed pose) instead of CoarseInitializer's joint
+  multi-level optimization (CoarseInitializer.h:79).
+- Frame marginalization policy: drop the oldest keyframe when the window is
+  full (DSO also drops low-visibility frames, FullSystemMarginalize.cpp).
+- In TANDEM mode, keyframe points can be seeded directly from the MVSNet
+  depth map (the reference seeds immature points from gtDepth in RGB-D mode,
+  FullSystem makeNewTraces; MVS depth plays that role here).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import List, Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..core.pyramid import build_pyramid
+from ..core.se3 import se3_exp, se3_inverse
+from ..tracking.ba import (BAState, PATTERN, _bilinear, ba_iterate,
+                           create_ba_state, marginalize_frame)
+from ..tracking.coarse_tracker import (make_tracker_ref, splat_depth_to_ref,
+                                       track_frame)
+from ..tracking.immature import (ImmaturePoints, activate_points,
+                                 make_immature, trace_points, STATUS_GOOD)
+from ..tracking.point_selection import select_pixels
+from ..utils.timer import Timer
+from .io import write_poses_mat, write_result_tum
+
+
+@dataclasses.dataclass
+class FullSystemOptions:
+    max_keyframes: int = 7            # setting_maxFrames
+    num_point_slots: int = 2048
+    kf_flow_threshold: float = 1.0    # setting_kfGlobalWeight heuristic
+    kf_brightness_threshold: float = 12.0
+    ba_iters: int = 4
+    immature_cap: int = 512
+    selection_threshold_factor: float = 1.0
+    init_min_good_frac: float = 0.5
+    init_max_width: float = 0.25
+    mvs_view_num: int = 7
+    tracking_step: int = 3            # setting_tracking_step dense stride
+
+
+class Keyframe:
+    def __init__(self, frame_id, timestamp, image, c2w):
+        self.frame_id = frame_id
+        self.timestamp = timestamp
+        self.image = image          # jnp (H, W)
+        self.c2w = np.asarray(c2w)
+        self.slot: Optional[int] = None
+        self.immature: Optional[ImmaturePoints] = None
+        self.bgr: Optional[np.ndarray] = None
+
+
+class FullSystem:
+    def __init__(self, fx, fy, cx, cy, height, width,
+                 options: FullSystemOptions = None, backend=None,
+                 timer: Timer = None):
+        self.K = (float(fx), float(fy), float(cx), float(cy))
+        self.K_mat = np.array([[fx, 0, cx], [0, fy, cy], [0, 0, 1]],
+                              np.float32)
+        self.H, self.W = height, width
+        self.opt = options or FullSystemOptions()
+        self.backend = backend
+        self.timer = timer or Timer(enabled=False)
+
+        F = self.opt.max_keyframes + 1
+        self.ba_state = create_ba_state(F, self.opt.num_point_slots)
+        self.slot_images = np.zeros((F, height, width), np.float32)
+        self.kf_of_slot: List[Optional[Keyframe]] = [None] * F
+
+        self.keyframes: List[Keyframe] = []
+        self.all_poses: List[np.ndarray] = []   # per-frame c2w
+        self.all_ids: List[int] = []
+        self.all_ts: List[float] = []
+
+        self.tracker_ref = None
+        self.ref_kf: Optional[Keyframe] = None
+        self.last_c2w = np.eye(4, dtype=np.float32)
+        self.prev_c2w = np.eye(4, dtype=np.float32)
+        self.initialized = False
+        self.is_lost = False
+        self.init_frames = 0
+        self.windows: List[List[int]] = []
+
+    # ------------------------------------------------------------------
+    def add_active_frame(self, gray: np.ndarray, frame_id: int,
+                         timestamp: float = None, bgr: np.ndarray = None):
+        timestamp = float(frame_id) if timestamp is None else timestamp
+        img = jnp.asarray(gray.astype(np.float32))
+
+        if not self.keyframes:
+            self._first_frame(img, frame_id, timestamp, bgr)
+            return
+
+        if not self.initialized:
+            self._initializer_step(img, frame_id, timestamp, bgr)
+            return
+
+        tid = self.timer.start_timing("track_frame")
+        T_init = self._motion_model()
+        out = track_frame(self.tracker_ref, img, jnp.asarray(T_init),
+                          jnp.array([1.0, 0.0]))
+        self.timer.end_timing("track_frame", tid)
+
+        energy = float(out["energy"])
+        if not np.isfinite(energy):
+            self.is_lost = True
+            return
+        T = np.asarray(out["T"])                # ref -> new (w2c rel)
+        c2w = self.ref_kf.c2w @ np.asarray(se3_inverse(jnp.asarray(T)))
+        self._record_pose(frame_id, timestamp, c2w)
+
+        flow = np.asarray(out["flow"])
+        need_kf = self._keyframe_decision(flow, out)
+        if need_kf:
+            self._make_keyframe(img, frame_id, timestamp, c2w, bgr)
+        else:
+            self._trace_on_frame(img, c2w)
+
+    # ------------------------------------------------------------------
+    def _first_frame(self, img, frame_id, timestamp, bgr):
+        kf = Keyframe(frame_id, timestamp, img, np.eye(4, dtype=np.float32))
+        kf.bgr = bgr
+        pyr = build_pyramid(img, 1)
+        mask = select_pixels(pyr[0]["abs_grad2"],
+                             threshold_factor=self.opt.selection_threshold_factor)
+        uv = self._mask_to_uv(np.asarray(mask), self.opt.immature_cap)
+        kf.immature = make_immature(jnp.asarray(uv), img,
+                                    id_min=0.05, id_max=5.0)
+        self.keyframes.append(kf)
+        self.ref_kf = kf
+        self._record_pose(frame_id, timestamp, kf.c2w)
+        # Tracker ref with flat idepth prior (scale-free bootstrap)
+        idepth0 = np.zeros((self.H, self.W), np.float32)
+        weight0 = np.zeros((self.H, self.W), np.float32)
+        sel = np.asarray(mask)
+        idepth0[sel] = 1.0
+        weight0[sel] = 1.0
+        self.tracker_ref = make_tracker_ref(
+            img, *self.K, sparse_idepth=jnp.asarray(idepth0),
+            sparse_weight=jnp.asarray(weight0))
+
+    def _initializer_step(self, img, frame_id, timestamp, bgr):
+        """Alternate track (fixed depth) / trace (fixed pose) until the
+        immature intervals converge, then promote to an initialized map."""
+        kf = self.keyframes[0]
+        self.init_frames += 1
+        T_init = self._motion_model()
+        out = track_frame(self.tracker_ref, img, jnp.asarray(T_init),
+                          jnp.array([1.0, 0.0]))
+        T = np.asarray(out["T"])
+        c2w = kf.c2w @ np.asarray(se3_inverse(jnp.asarray(T)))
+        self._record_pose(frame_id, timestamp, c2w)
+
+        kf.immature = trace_points(kf.immature, jnp.asarray(kf.c2w),
+                                   jnp.asarray(c2w), img, self.K)
+        pts = kf.immature
+        status = np.asarray(pts.status)
+        widths = np.asarray(pts.id_max - pts.id_min)
+        # "narrowed" = the interval has converged at some point, even if the
+        # last trace was SKIPPED (tiny baseline) — those points remain usable.
+        init_width = 5.0 - 0.05
+        narrowed = (widths < 0.5 * init_width) & (status != 3)  # not OUTLIER
+        # Refresh the tracker ref with interval-midpoint idepths
+        mid = np.asarray(0.5 * (pts.id_min + pts.id_max))
+        uv = np.asarray(pts.uv).astype(int)
+        idepth0 = np.zeros((self.H, self.W), np.float32)
+        weight0 = np.zeros((self.H, self.W), np.float32)
+        sel = narrowed
+        idepth0[uv[sel, 1], uv[sel, 0]] = mid[sel]
+        weight0[uv[sel, 1], uv[sel, 0]] = 1.0
+        if sel.any():
+            self.tracker_ref = make_tracker_ref(
+                kf.image, *self.K, sparse_idepth=jnp.asarray(idepth0),
+                sparse_weight=jnp.asarray(weight0))
+
+        if (narrowed.mean() > self.opt.init_min_good_frac
+                and np.median(widths[narrowed]) < self.opt.init_max_width
+                and self.init_frames >= 3):
+            idep, ok = activate_points(pts, jnp.asarray(kf.c2w),
+                                       jnp.asarray(c2w), img, self.K)
+            self._assign_slot(kf)
+            self._insert_points(kf, np.asarray(pts.uv), np.asarray(idep),
+                                np.asarray(ok))
+            self._make_keyframe(img, frame_id, timestamp, c2w, bgr,
+                                from_init=True)
+            self.initialized = True
+
+    # ------------------------------------------------------------------
+    def _motion_model(self) -> np.ndarray:
+        """Constant-velocity prediction; returns T_ref->new (w2c_new @ c2w_ref),
+        the tracker's pose parameterization (trackNewCoarse motion model,
+        FullSystem.cpp:434-529; the ~27-perturbation retry list is handled by
+        the tracker's coarse pyramid instead)."""
+        if len(self.all_poses) < 2:
+            pred_c2w = self.last_c2w
+        else:
+            pred_c2w = self.last_c2w @ np.linalg.inv(self.prev_c2w) \
+                @ self.last_c2w
+        return (np.linalg.inv(pred_c2w) @ self.ref_kf.c2w).astype(np.float32)
+
+    def _record_pose(self, frame_id, timestamp, c2w):
+        self.prev_c2w = self.last_c2w
+        self.last_c2w = np.asarray(c2w, np.float32)
+        self.all_poses.append(self.last_c2w.copy())
+        self.all_ids.append(frame_id)
+        self.all_ts.append(timestamp)
+
+    def _keyframe_decision(self, flow, out) -> bool:
+        """Flow+brightness heuristic (FullSystem.cpp:1038-1058)."""
+        f_full, f_t, f_rt = flow
+        a, b = np.asarray(out["aff"])
+        brightness = abs(np.log(max(a, 1e-6))) * 50 + abs(b)
+        score = (f_full / 8.0 + f_t / 8.0
+                 + brightness / self.opt.kf_brightness_threshold)
+        return bool(score > self.opt.kf_flow_threshold
+                    or float(out["valid_frac"]) < 0.6)
+
+    # ------------------------------------------------------------------
+    def _mask_to_uv(self, mask: np.ndarray, cap: int) -> np.ndarray:
+        ys, xs = np.nonzero(mask)
+        if len(ys) > cap:
+            idx = np.linspace(0, len(ys) - 1, cap).astype(int)
+            ys, xs = ys[idx], xs[idx]
+        uv = np.stack([xs, ys], -1).astype(np.float32)
+        if len(uv) < cap:
+            uv = np.concatenate([uv, np.zeros((cap - len(uv), 2), np.float32)])
+        return uv
+
+    def _assign_slot(self, kf: Keyframe):
+        valid = np.asarray(self.ba_state.frame_valid)
+        free = np.nonzero(~valid)[0]
+        if len(free) == 0:
+            self._marginalize_oldest()
+            valid = np.asarray(self.ba_state.frame_valid)
+            free = np.nonzero(~valid)[0]
+        slot = int(free[0])
+        kf.slot = slot
+        self.kf_of_slot[slot] = kf
+        self.slot_images[slot] = np.asarray(kf.image)
+        self.ba_state = self.ba_state._replace(
+            poses=self.ba_state.poses.at[slot].set(jnp.asarray(kf.c2w)),
+            aff=self.ba_state.aff.at[slot].set(jnp.zeros(2)),
+            frame_valid=self.ba_state.frame_valid.at[slot].set(True))
+
+    def _marginalize_oldest(self):
+        active = [kf for kf in self.keyframes if kf.slot is not None]
+        active.sort(key=lambda k: k.frame_id)
+        victim = active[0]
+        self.ba_state = marginalize_frame(
+            self.ba_state, jnp.asarray(self.slot_images), self.K,
+            victim.slot)
+        self.kf_of_slot[victim.slot] = None
+        victim.slot = None
+
+    def _insert_points(self, kf: Keyframe, uv, idepth, ok):
+        """Scatter new points into free BA point slots."""
+        pv = np.asarray(self.ba_state.pt_valid)
+        free = np.nonzero(~pv)[0]
+        sel = np.nonzero(ok)[0]
+        n = min(len(free), len(sel))
+        if n == 0:
+            return
+        free, sel = free[:n], sel[:n]
+        img_np = kf.image
+        u = jnp.asarray(uv[sel, 0:1] + PATTERN[None, :, 0])
+        v = jnp.asarray(uv[sel, 1:2] + PATTERN[None, :, 1])
+        colors = jax.vmap(lambda uu, vv: _bilinear(img_np, uu, vv))(u, v)
+
+        st = self.ba_state
+        fidx = jnp.asarray(free)
+        self.ba_state = st._replace(
+            pt_frame=st.pt_frame.at[fidx].set(kf.slot),
+            pt_uv=st.pt_uv.at[fidx].set(jnp.asarray(uv[sel])),
+            pt_idepth=st.pt_idepth.at[fidx].set(
+                jnp.asarray(np.maximum(idepth[sel], 1e-3))),
+            pt_color=st.pt_color.at[fidx].set(colors),
+            pt_valid=st.pt_valid.at[fidx].set(True))
+
+    # ------------------------------------------------------------------
+    def _make_keyframe(self, img, frame_id, timestamp, c2w, bgr,
+                       from_init=False):
+        tid = self.timer.start_timing("make_keyframe")
+        kf = Keyframe(frame_id, timestamp, img, c2w)
+        kf.bgr = bgr
+        self.keyframes.append(kf)
+        self._assign_slot(kf)
+
+        # Activate matured immature points of the previous reference KF
+        prev = self.ref_kf
+        if not from_init and prev is not None and prev.immature is not None \
+                and prev.slot is not None:
+            idep, ok = activate_points(prev.immature,
+                                       jnp.asarray(prev.c2w),
+                                       jnp.asarray(c2w), img, self.K)
+            self._insert_points(prev, np.asarray(prev.immature.uv),
+                                np.asarray(idep), np.asarray(ok))
+
+        # MVS depth seeding (TANDEM mode): dense depth for the new KF
+        mvs = self.backend.get_tracking_depth_map() if self.backend else None
+
+        # Windowed BA
+        self.ba_state, energy = ba_iterate(
+            self.ba_state, jnp.asarray(self.slot_images), self.K,
+            iters=self.opt.ba_iters)
+        # Write back refined poses
+        poses = np.asarray(self.ba_state.poses)
+        for slot, k in enumerate(self.kf_of_slot):
+            if k is not None:
+                k.c2w = poses[slot]
+        kf.c2w = poses[kf.slot]
+        self.last_c2w = kf.c2w.copy()
+
+        # New immature points in this KF
+        pyr = build_pyramid(img, 1)
+        mask = select_pixels(pyr[0]["abs_grad2"],
+                             threshold_factor=self.opt.selection_threshold_factor)
+        uv = self._mask_to_uv(np.asarray(mask), self.opt.immature_cap)
+        kf.immature = make_immature(jnp.asarray(uv), img, id_min=0.05,
+                                    id_max=5.0)
+
+        # Record the optimization window (dso_optimization_windows format)
+        win = sorted(k.frame_id for k in self.kf_of_slot if k is not None)
+        self.windows.append(win)
+
+        # TANDEM backend call on the active window
+        if self.backend is not None:
+            self._deliver_dr_frame(kf)
+
+        # Refresh the coarse-tracking reference (sparse BA points + dense)
+        self._set_tracking_ref(kf, mvs)
+        self.ref_kf = kf
+        self.timer.end_timing("make_keyframe", tid)
+
+    def _deliver_dr_frame(self, kf: Keyframe):
+        """deliverDrFrame (FullSystem.cpp:1122-1198): send the KF window to
+        the backend when it has view_num frames and the backend is ready."""
+        active = sorted((k for k in self.kf_of_slot
+                         if k is not None and k.bgr is not None),
+                        key=lambda k: k.frame_id)
+        if len(active) < self.opt.mvs_view_num:
+            return
+        window = active[-self.opt.mvs_view_num:]
+        if not self.backend.ready():
+            return  # drop (real-time mode semantics)
+        # Depth range: [0.01, 3 x quantile_0.2(depth)] from tracker idepths
+        # (FullSystem.cpp:1192-1193)
+        idep = np.asarray(self.ba_state.pt_idepth)
+        idv = idep[np.asarray(self.ba_state.pt_valid)]
+        if len(idv) > 0:
+            q = np.quantile(idv, 0.8)   # idepth 0.8-quantile ~ depth 0.2-q
+            dmax = 3.0 / max(q, 1e-3)
+        else:
+            dmax = 10.0
+        self.backend.call(
+            bgrs=[k.bgr for k in window],
+            cam_to_worlds=[k.c2w for k in window],
+            depth_min=0.01, depth_max=float(dmax),
+            next_ref_c2w=kf.c2w)
+
+    def _set_tracking_ref(self, kf: Keyframe, mvs: Optional[dict]):
+        """setCoarseTrackingRef with TSDF-rendered dense injection
+        (FullSystem.cpp:1373-1387, CoarseTracker.cpp:633-733)."""
+        idepth0 = np.zeros((self.H, self.W), np.float32)
+        weight0 = np.zeros((self.H, self.W), np.float32)
+        st = self.ba_state
+        pv = np.asarray(st.pt_valid)
+        if pv.any():
+            # Project BA points into the new reference KF
+            pts_uv = np.asarray(st.pt_uv)[pv]
+            pts_id = np.asarray(st.pt_idepth)[pv]
+            host = np.asarray(st.pt_frame)[pv]
+            poses = np.asarray(st.poses)
+            fx, fy, cx, cy = self.K
+            w2c_ref = np.linalg.inv(kf.c2w)
+            for h in np.unique(host):
+                m = host == h
+                ray = np.stack([(pts_uv[m, 0] - cx) / fx,
+                                (pts_uv[m, 1] - cy) / fy,
+                                np.ones(m.sum())], -1)
+                pts_h = ray / np.maximum(pts_id[m][:, None], 1e-6)
+                pts_w = pts_h @ poses[h][:3, :3].T + poses[h][:3, 3]
+                pts_r = pts_w @ w2c_ref[:3, :3].T + w2c_ref[:3, 3]
+                z = pts_r[:, 2]
+                good = z > 0.01
+                u = np.round(fx * pts_r[good, 0] / z[good] + cx).astype(int)
+                v = np.round(fy * pts_r[good, 1] / z[good] + cy).astype(int)
+                inb = (u >= 0) & (u < self.W) & (v >= 0) & (v < self.H)
+                idepth0[v[inb], u[inb]] = 1.0 / z[good][inb]
+                weight0[v[inb], u[inb]] = 1.0
+
+        dense_id = dense_w = None
+        if mvs is not None and mvs.get("valid"):
+            dense_id, dense_w = splat_depth_to_ref(
+                jnp.asarray(mvs["depth"]),
+                jnp.asarray(mvs["c2w"].astype(np.float32)),
+                jnp.asarray(kf.c2w.astype(np.float32)),
+                jnp.asarray(self.K_mat), self.H, self.W,
+                stride=self.opt.tracking_step)
+
+        self.tracker_ref = make_tracker_ref(
+            kf.image, *self.K,
+            sparse_idepth=jnp.asarray(idepth0),
+            sparse_weight=jnp.asarray(weight0),
+            dense_idepth=dense_id, dense_weight=dense_w)
+
+    def _trace_on_frame(self, img, c2w):
+        """traceNewCoarse: update immature points of active KFs against the
+        new frame (FullSystem.cpp:650-)."""
+        for kf in self.kf_of_slot:
+            if kf is not None and kf.immature is not None:
+                kf.immature = trace_points(
+                    kf.immature, jnp.asarray(kf.c2w),
+                    jnp.asarray(c2w.astype(np.float32)), img, self.K)
+
+    # ------------------------------------------------------------------
+    def write_results(self, out_dir: str):
+        import os
+        os.makedirs(out_dir, exist_ok=True)
+        write_result_tum(os.path.join(out_dir, "result.txt"), self.all_ts,
+                         self.all_poses)
+        write_poses_mat(os.path.join(out_dir, "poses_dso.txt"), self.all_ids,
+                        self.all_poses)
+        kf_ids = [kf.frame_id for kf in self.keyframes]
+        kf_poses = [kf.c2w for kf in self.keyframes]
+        write_poses_mat(os.path.join(out_dir, "keyframes_dso.txt"), kf_ids,
+                        kf_poses)
+        from .io import write_optimization_windows
+        write_optimization_windows(
+            os.path.join(out_dir, "dso_optimization_windows.txt"),
+            self.windows)

@@ -285,8 +285,13 @@ def _lm_level(T, aff, level_data, max_iter):
     state = (jnp.int32(0), jnp.bool_(False), T, aff, jnp.float32(0.01),
              e0, n0, H0, g0)
     state = lax.while_loop(cond, body, state)
-    _, _, T, aff, _, e, n, _, _ = state
-    return T, aff, e, n
+    _, _, T_out, aff_out, _, e, n, _, _ = state
+    # A level with too few valid residuals cannot constrain 8 DoF — keep the
+    # incoming estimate (sparse maps can starve the coarsest levels).
+    enough = n0 >= 32.0
+    T_out = jnp.where(enough, T_out, T)
+    aff_out = jnp.where(enough, aff_out, aff)
+    return T_out, aff_out, e, n
 
 
 @jax.jit

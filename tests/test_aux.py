@@ -1,0 +1,125 @@
+"""Tests: ATE/RPE tools, augmentation, undistortion, timer, TB logger."""
+
+import os
+
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+
+from tandem_tpu.eval.ate import (align_horn, associate, evaluate_ate,
+                                 evaluate_rpe)
+from tandem_tpu.data.augment import augment_batch, color_jitter, motion_blur
+from tandem_tpu.utils.timer import Timer
+
+
+def test_ate_horn_exact_recovery(rng):
+    gt = rng.randn(50, 3)
+    R_true, _, _ = align_horn(rng.randn(3, 10), rng.randn(3, 10))  # random R
+    s_true = 2.0
+    t_true = np.array([1.0, -2.0, 0.5])
+    est = (gt @ R_true.T) / s_true - (R_true.T @ t_true) / s_true  # inverse map
+    # est transformed by (s R | t) should equal gt
+    res = evaluate_ate(gt, est, with_scale=True)
+    assert res["rmse"] < 1e-6
+    assert abs(res["scale"] - s_true) < 1e-6
+
+    res_noscale = evaluate_ate(gt, est, with_scale=False)
+    assert res_noscale["rmse"] > 0.1  # scale mismatch not absorbed
+
+
+def test_rpe_identity():
+    poses = [np.eye(4) for _ in range(10)]
+    for i, p in enumerate(poses):
+        p[0, 3] = 0.1 * i
+    res = evaluate_rpe(poses, [p.copy() for p in poses])
+    assert res["trans_rmse"] < 1e-12
+    assert res["rot_rmse"] < 1e-12
+
+
+def test_associate():
+    a = {0.0: 1, 1.0: 2, 2.0: 3}
+    b = {0.01: 1, 1.015: 2, 5.0: 3}
+    m = associate(a, b)
+    assert len(m) == 2
+    assert m[0] == (0.0, 0.01)
+
+
+def test_color_jitter_bounds(rng):
+    img = jnp.asarray(rng.rand(16, 16, 3).astype(np.float32))
+    out = color_jitter(jax.random.PRNGKey(0), img)
+    out = np.asarray(out)
+    assert out.shape == (16, 16, 3)
+    assert (out >= 0).all() and (out <= 1).all()
+    assert np.abs(out - np.asarray(img)).mean() > 1e-5  # something changed
+
+
+def test_motion_blur_preserves_mean(rng):
+    img = jnp.asarray(rng.rand(32, 32, 3).astype(np.float32))
+    out = motion_blur(jax.random.PRNGKey(1), img)
+    assert np.asarray(out).shape == (32, 32, 3)
+    # kernel is normalized -> interior mean roughly preserved
+    assert abs(float(out[8:-8, 8:-8].mean())
+               - float(img[8:-8, 8:-8].mean())) < 0.05
+
+
+def test_augment_batch_shapes(rng):
+    batch = {"image": jnp.asarray(rng.rand(2, 3, 3, 32, 32).astype(np.float32)),
+             "depth_min": jnp.ones(2)}
+    out = augment_batch(jax.random.PRNGKey(0), batch)
+    assert out["image"].shape == (2, 3, 3, 32, 32)
+    assert "depth_min" in out
+    out2 = augment_batch(jax.random.PRNGKey(0), batch, same_on_views=True)
+    assert out2["image"].shape == (2, 3, 3, 32, 32)
+
+
+def test_timer(tmp_path):
+    t = Timer()
+    tid = t.start_timing("foo")
+    t.end_timing("foo", tid)
+    tid = t.start_timing("foo")
+    t.end_timing("foo", tid)
+    assert len(t.intervals["foo"]) == 2
+    t.write_to_file(str(tmp_path / "dr_times.txt"))
+    content = open(tmp_path / "dr_times.txt").read()
+    assert "foo n=2" in content
+
+
+def test_undistort_pinhole_identity(tmp_path, rng):
+    from tandem_tpu.data.undistort import Undistort
+    calib = tmp_path / "calib.txt"
+    calib.write_text("Pinhole 300 300 160 120 0\n320 240\nnone\n320 240\n")
+    und = Undistort.from_file(str(calib))
+    img = (rng.rand(240, 320) * 255).astype(np.float32)
+    out = und.undistort_image(img)
+    # Pinhole + none: identity remap (interior)
+    assert np.abs(out[5:-5, 5:-5] - img[5:-5, 5:-5]).max() < 1e-3
+
+
+def test_undistort_radtan_runs(tmp_path, rng):
+    from tandem_tpu.data.undistort import Undistort
+    calib = tmp_path / "calib.txt"
+    calib.write_text(
+        "RadTan 0.5 0.5 0.5 0.5 -0.28 0.07 0.0002 0.00002\n"
+        "752 480\ncrop\n640 480\n")
+    und = Undistort.from_file(str(calib))
+    assert und.K[0, 0] > 0
+    img = (rng.rand(480, 752) * 255).astype(np.float32)
+    out = und.undistort_image(img)
+    assert out.shape == (480, 640)
+    assert np.isfinite(out).all()
+
+
+def test_photometric_undistorter(tmp_path):
+    from tandem_tpu.data.undistort import PhotometricUndistorter
+    gamma = tmp_path / "pcalib.txt"
+    # quadratic response
+    vals = (np.arange(256) ** 1.5)
+    gamma.write_text(" ".join(str(v) for v in vals))
+    pu = PhotometricUndistorter(str(gamma))
+    img = np.array([[0, 128, 255]], np.uint8)
+    out = pu.process(img)
+    assert out[0, 0] == 0.0
+    assert abs(out[0, 2] - 255.0) < 1e-3
+    assert out[0, 1] < 128  # concave-up response maps midtones down

@@ -89,7 +89,7 @@ def test_model_parity(rng, view_aggregation):
 
 
 @requires_reference
-def test_model_parity_with_edge_filter(rng):
+def test_model_parity_with_edge_filter():
     import torch
     from tests.torch_ref import import_reference_models, state_dict_numpy
 
@@ -98,7 +98,8 @@ def test_model_parity_with_edge_filter(rng):
     ref_model = ref_cva.CvaMVSNet(view_aggregation=True)
     ref_model.eval()
 
-    image, Ks, c2w, dmin, dmax = _random_inputs(rng)
+    # Local RNG: decouple from test execution order
+    image, Ks, c2w, dmin, dmax = _random_inputs(np.random.RandomState(42))
     discard = np.full((1,), 10.0, np.float32)
 
     with torch.no_grad():
@@ -120,10 +121,16 @@ def test_model_parity_with_edge_filter(rng):
         depth_filter_discard_percentage=jnp.asarray(discard), train=False)
 
     for i, stage in enumerate(("stage1", "stage2", "stage3")):
-        ref_depth = ref_out[i].depth.numpy()
-        got_depth = np.asarray(getattr(out, stage).depth)
-        mae = np.abs(ref_depth - got_depth).mean()
-        assert mae < 5e-3, f"{stage} filtered depth MAE {mae}"
+        # Dense (unfiltered) outputs must match tightly.
         ref_dense = ref_out[i].depth_dense.numpy()
         got_dense = np.asarray(getattr(out, stage).depth_dense)
         assert np.abs(ref_dense - got_dense).mean() < 1e-3
+        # Filtered outputs: pixels near the exact quantile threshold can flip
+        # between implementations; require the discard decision to agree on
+        # nearly all pixels.
+        ref_depth = ref_out[i].depth.numpy()
+        got_depth = np.asarray(getattr(out, stage).depth)
+        agree = ((ref_depth == 0) == (got_depth == 0)).mean()
+        assert agree > 0.98, f"{stage} discard-mask agreement {agree}"
+        both = (ref_depth > 0) & (got_depth > 0)
+        assert np.abs(ref_depth[both] - got_depth[both]).mean() < 1e-3
