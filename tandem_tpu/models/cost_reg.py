@@ -11,7 +11,7 @@ from __future__ import annotations
 import jax.numpy as jnp
 from flax import linen as nn
 
-from .layers import ConvBnRelu, DeconvBnRelu
+from .layers import ConvBnRelu, DeconvBnRelu, _ConvParams, conv3d_via_2d
 
 
 class CostRegNet(nn.Module):
@@ -40,8 +40,10 @@ class CostRegNet(nn.Module):
         x = conv2 + DeconvBnRelu(2 * b, name="conv9", **kw)(x, train)
         x = conv0 + DeconvBnRelu(b, name="conv11", **kw)(x, train)
 
-        logits = nn.Conv(1, (3, 3, 3), padding=[(1, 1)] * 3, use_bias=False,
-                         dtype=self.dtype, name="prob")(x)
+        kernel, _ = _ConvParams((3, 3, 3, x.shape[-1], 1), False,
+                                name="prob")()
+        logits = conv3d_via_2d(x.astype(self.dtype),
+                               kernel.astype(self.dtype), (1, 1, 1), (1, 1, 1))
         return logits  # (B, D, H, W, 1)
 
 

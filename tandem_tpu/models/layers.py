@@ -25,8 +25,111 @@ def _tup(v: IntOrTuple, n: int) -> Tuple[int, ...]:
     return (v,) * n if isinstance(v, int) else tuple(v)
 
 
+def conv3d_via_2d(x, kernel, stride, padding):
+    """3D convolution decomposed into kd 2D convolutions.
+
+    XLA's TPU lowering of genuine 3D convolutions runs far off the MXU roof;
+    folding the depth axis into the batch and summing the kd depth-taps as 2D
+    convs recovers 2D-conv throughput (~100x here).
+
+    :param x: (B, D, H, W, I); kernel: (kd, kh, kw, I, O)
+    :param stride/padding: 3-tuples (d, h, w)
+    """
+    B, D, H, W, I = x.shape
+    kd, kh, kw, _, O = kernel.shape
+    sd, sh, sw = stride
+    pd, ph, pw = padding
+    xp = jnp.pad(x, ((0, 0), (pd, pd), (0, 0), (0, 0), (0, 0)))
+    Dp = D + 2 * pd
+    D_out = (Dp - kd) // sd + 1
+
+    out = None
+    for k in range(kd):
+        # Depth slice for tap k: indices k, k+sd, ..., over D_out entries
+        sl = jax.lax.slice_in_dim(xp, k, k + sd * (D_out - 1) + 1, sd, axis=1)
+        y = jax.lax.conv_general_dilated(
+            sl.reshape(B * D_out, H, W, I), kernel[k],
+            window_strides=(sh, sw), padding=[(ph, ph), (pw, pw)],
+            dimension_numbers=("NHWC", "HWIO", "NHWC"))
+        out = y if out is None else out + y
+    Ho, Wo = out.shape[1], out.shape[2]
+    return out.reshape(B, D_out, Ho, Wo, O)
+
+
+def _deconv2d(x, kernel, stride_hw, pad_hw, outpad_hw):
+    """2D transposed conv via input-dilated correlation; kernel is stored
+    pre-flipped (see DeconvBnRelu)."""
+    kh, kw = kernel.shape[0], kernel.shape[1]
+    (sh, sw), (ph, pw), (oh, ow) = stride_hw, pad_hw, outpad_hw
+    pad = [(kh - 1 - ph, kh - 1 - ph + oh), (kw - 1 - pw, kw - 1 - pw + ow)]
+    return jax.lax.conv_general_dilated(
+        x, kernel, window_strides=(1, 1), padding=pad, lhs_dilation=(sh, sw),
+        dimension_numbers=("NHWC", "HWIO", "NHWC"))
+
+
+def deconv3d_via_2d(x, kernel, stride, padding, output_padding):
+    """3D transposed conv decomposed into 2D transposed convs.
+
+    Supports the CostRegNet cases: kernel 3, depth stride 1 or 2 with
+    padding 1 and output_padding (stride-1). kernel: (3, kh, kw, I, O),
+    spatially pre-flipped (including the depth axis).
+    """
+    B, D, H, W, I = x.shape
+    kd, kh, kw, _, O = kernel.shape
+    sd, sh, sw = stride
+    pd, ph, pw = padding
+    od, oh, ow = output_padding
+    assert kd == 3 and pd == 1, "CostRegNet deconv configuration"
+    e0, e1, e2 = kernel[0], kernel[1], kernel[2]
+
+    def d2(xs, k):
+        y = _deconv2d(xs.reshape(B * D, H, W, I), k, (sh, sw), (ph, pw),
+                      (oh, ow))
+        return y.reshape(B, D, y.shape[1], y.shape[2], O)
+
+    if sd == 1:
+        assert od == 0
+        # 3-tap depth conv: y[o] = e0 x[o-1] + e1 x[o] + e2 x[o+1]
+        y1 = d2(x, e1)
+        y0 = d2(x, e0)
+        y2 = d2(x, e2)
+        z = jnp.zeros_like(y1[:, :1])
+        return (jnp.concatenate([z, y0[:, :-1]], 1) + y1
+                + jnp.concatenate([y2[:, 1:], z], 1))
+    assert sd == 2 and od == 1
+    # y[2i] = e1 * x[i]; y[2i+1] = e0 * x[i] + e2 * x[i+1]
+    y_even = d2(x, e1)
+    y_odd_a = d2(x, e0)
+    x_next = jnp.concatenate([x[:, 1:], jnp.zeros_like(x[:, :1])], 1)
+    y_odd = y_odd_a + d2(x_next, e2)
+    Ho, Wo = y_even.shape[2], y_even.shape[3]
+    inter = jnp.stack([y_even, y_odd], axis=2)  # (B, D, 2, Ho, Wo, O)
+    return inter.reshape(B, 2 * D, Ho, Wo, O)
+
+
+class _ConvParams(nn.Module):
+    """Parameter holder keeping the ``<parent>/conv/kernel`` tree layout that
+    the torch checkpoint converter expects."""
+    shape: Tuple[int, ...]
+    use_bias: bool
+
+    @nn.compact
+    def __call__(self):
+        kernel = self.param(
+            "kernel", nn.initializers.variance_scaling(1.0, "fan_in",
+                                                       "truncated_normal"),
+            self.shape)
+        bias = (self.param("bias", nn.initializers.zeros, (self.shape[-1],))
+                if self.use_bias else None)
+        return kernel, bias
+
+
 class ConvBnRelu(nn.Module):
-    """Conv (2D or 3D by kernel rank) + optional BatchNorm + optional ReLU."""
+    """Conv (2D or 3D by kernel rank) + optional BatchNorm + optional ReLU.
+
+    3D convolutions are decomposed into per-depth-tap 2D convolutions
+    (conv3d_via_2d) — XLA's native 3D conv lowering runs ~100x off the MXU
+    roof on TPU, the 2D decomposition does not."""
     features: int
     kernel: IntOrTuple
     ndim: int = 2
@@ -42,9 +145,19 @@ class ConvBnRelu(nn.Module):
         s = _tup(self.stride, self.ndim)
         p = _tup(self.padding, self.ndim)
         use_norm = self.normalization is not None
-        x = nn.Conv(self.features, kernel_size=k, strides=s,
-                    padding=[(pi, pi) for pi in p],
-                    use_bias=not use_norm, dtype=self.dtype, name="conv")(x)
+        if self.ndim == 3:
+            in_feat = x.shape[-1]
+            kernel, bias = _ConvParams(k + (in_feat, self.features),
+                                       not use_norm, name="conv")()
+            x = conv3d_via_2d(x.astype(self.dtype), kernel.astype(self.dtype),
+                              s, p)
+            if bias is not None:
+                x = x + bias
+        else:
+            x = nn.Conv(self.features, kernel_size=k, strides=s,
+                        padding=[(pi, pi) for pi in p],
+                        use_bias=not use_norm, dtype=self.dtype,
+                        name="conv")(x)
         if use_norm:
             if self.normalization == "batchnorm":
                 x = nn.BatchNorm(use_running_average=not train, momentum=0.9,
@@ -105,12 +218,16 @@ class DeconvBnRelu(nn.Module):
             "kernel",
             nn.initializers.variance_scaling(1.0 / 3.0, "fan_in", "uniform"),
             k + (in_feat, self.features))
-        pad = [(k[i] - 1 - p[i], k[i] - 1 - p[i] + op[i]) for i in range(n)]
-        dn = {2: ("NHWC", "HWIO", "NHWC"), 3: ("NDHWC", "DHWIO", "NDHWC")}[n]
-        y = jax.lax.conv_general_dilated(
-            x.astype(self.dtype), kernel.astype(self.dtype),
-            window_strides=(1,) * n, padding=pad, lhs_dilation=s,
-            dimension_numbers=dn)
+        if n == 3:
+            y = deconv3d_via_2d(x.astype(self.dtype),
+                                kernel.astype(self.dtype), s, p, op)
+        else:
+            pad = [(k[i] - 1 - p[i], k[i] - 1 - p[i] + op[i])
+                   for i in range(n)]
+            y = jax.lax.conv_general_dilated(
+                x.astype(self.dtype), kernel.astype(self.dtype),
+                window_strides=(1,) * n, padding=pad, lhs_dilation=s,
+                dimension_numbers=("NHWC", "HWIO", "NHWC"))
         if not use_norm:
             bias = self.param("bias", nn.initializers.zeros, (self.features,))
             y = y + bias

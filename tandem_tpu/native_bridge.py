@@ -1,0 +1,145 @@
+"""ctypes bridge to the native C++ runtime library (native/tandem_native.cpp).
+
+Lazily compiles libtandem_native.so with g++ on first use (no pip installs;
+the toolchain is assumed, and everything degrades to numpy fallbacks when
+compilation is unavailable). Covers the reference's native host-side hot
+paths: undistortion remap + photometric LUT, pyramid/gradient build, and BGR
+-> RGB CHW packing.
+"""
+
+from __future__ import annotations
+
+import ctypes
+import os
+import subprocess
+import sys
+from typing import Optional
+
+import numpy as np
+
+_LIB = None
+_TRIED = False
+
+_SRC = os.path.join(os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+                    "native", "tandem_native.cpp")
+_OUT = os.path.join(os.path.dirname(_SRC), "libtandem_native.so")
+
+
+def _compile() -> Optional[str]:
+    if os.path.exists(_OUT) and os.path.getmtime(_OUT) >= os.path.getmtime(_SRC):
+        return _OUT
+    cmd = ["g++", "-O3", "-march=native", "-shared", "-fPIC", "-std=c++17",
+           "-pthread", _SRC, "-o", _OUT]
+    try:
+        subprocess.run(cmd, check=True, capture_output=True, timeout=240)
+        return _OUT
+    except Exception as e:  # pragma: no cover
+        print(f"tandem_native: build failed ({e}); using numpy fallbacks",
+              file=sys.stderr)
+        return None
+
+
+def get_lib():
+    global _LIB, _TRIED
+    if _LIB is None and not _TRIED:
+        _TRIED = True
+        path = _compile()
+        if path:
+            lib = ctypes.CDLL(path)
+            f32p = ctypes.POINTER(ctypes.c_float)
+            u8p = ctypes.POINTER(ctypes.c_uint8)
+            lib.tandem_remap_u8.argtypes = [
+                u8p, ctypes.c_int, ctypes.c_int, ctypes.c_int, f32p, f32p,
+                ctypes.c_int, ctypes.c_int, f32p, f32p]
+            lib.tandem_pyramid.argtypes = [
+                f32p, ctypes.c_int, ctypes.c_int, ctypes.c_int, f32p, f32p,
+                f32p]
+            lib.tandem_bgr_to_rgb_chw.argtypes = [
+                u8p, ctypes.c_int, ctypes.c_int, f32p]
+            lib.tandem_native_version.restype = ctypes.c_int
+            _LIB = lib
+    return _LIB
+
+
+def _ptr(a, ctype):
+    return a.ctypes.data_as(ctypes.POINTER(ctype))
+
+
+def remap_u8(src: np.ndarray, map_x: np.ndarray, map_y: np.ndarray,
+             lut256: Optional[np.ndarray] = None) -> np.ndarray:
+    """Undistort an HxWx{1,3} uint8 image to float32 via the remap grids."""
+    lib = get_lib()
+    if src.ndim == 2:
+        src = src[..., None]
+    src = np.ascontiguousarray(src, np.uint8)
+    out_h, out_w = map_x.shape
+    c = src.shape[2]
+    if lib is None:
+        from .data.undistort import Undistort  # numpy fallback path
+        x0 = np.clip(np.floor(map_x).astype(int), 0, src.shape[1] - 2)
+        y0 = np.clip(np.floor(map_y).astype(int), 0, src.shape[0] - 2)
+        wx = np.clip(map_x - x0, 0, 1)[..., None]
+        wy = np.clip(map_y - y0, 0, 1)[..., None]
+        s = src.astype(np.float32)
+        out = (s[y0, x0] * (1 - wx) * (1 - wy) + s[y0, x0 + 1] * wx * (1 - wy)
+               + s[y0 + 1, x0] * (1 - wx) * wy + s[y0 + 1, x0 + 1] * wx * wy)
+        valid = (map_x >= 0) & (map_y >= 0)
+        out = np.where(valid[..., None], out, 0)
+        if lut256 is not None:
+            i0 = np.clip(out.astype(int), 0, 254)
+            f = out - i0
+            out = lut256[i0] * (1 - f) + lut256[i0 + 1] * f
+        return out[..., 0] if c == 1 else out
+
+    mx = np.ascontiguousarray(map_x, np.float32)
+    my = np.ascontiguousarray(map_y, np.float32)
+    dst = np.empty((out_h, out_w, c), np.float32)
+    lut_ptr = (_ptr(np.ascontiguousarray(lut256, np.float32), ctypes.c_float)
+               if lut256 is not None else
+               ctypes.cast(None, ctypes.POINTER(ctypes.c_float)))
+    lib.tandem_remap_u8(_ptr(src, ctypes.c_uint8), src.shape[1], src.shape[0],
+                        c, _ptr(mx, ctypes.c_float), _ptr(my, ctypes.c_float),
+                        out_w, out_h, lut_ptr, _ptr(dst, ctypes.c_float))
+    return dst[..., 0] if c == 1 else dst
+
+
+def build_pyramid_native(img: np.ndarray, levels: int = 6):
+    """Returns lists of (img, gx, gy) per level (float32 numpy)."""
+    lib = get_lib()
+    img = np.ascontiguousarray(img, np.float32)
+    h, w = img.shape
+    sizes = [(h >> l, w >> l) for l in range(levels)]
+    total = sum(hh * ww for hh, ww in sizes)
+    if lib is None:
+        from .core.pyramid import build_pyramid
+        import jax.numpy as jnp
+        pyr = build_pyramid(jnp.asarray(img), levels)
+        return [(np.asarray(p["img"]), np.asarray(p["gx"]),
+                 np.asarray(p["gy"])) for p in pyr]
+    imgs = np.empty(total, np.float32)
+    gxs = np.empty(total, np.float32)
+    gys = np.empty(total, np.float32)
+    lib.tandem_pyramid(_ptr(img, ctypes.c_float), w, h, levels,
+                       _ptr(imgs, ctypes.c_float), _ptr(gxs, ctypes.c_float),
+                       _ptr(gys, ctypes.c_float))
+    out = []
+    off = 0
+    for hh, ww in sizes:
+        n = hh * ww
+        out.append((imgs[off:off + n].reshape(hh, ww),
+                    gxs[off:off + n].reshape(hh, ww),
+                    gys[off:off + n].reshape(hh, ww)))
+        off += n
+    return out
+
+
+def bgr_to_rgb_chw(bgr: np.ndarray) -> np.ndarray:
+    lib = get_lib()
+    bgr = np.ascontiguousarray(bgr, np.uint8)
+    h, w = bgr.shape[:2]
+    if lib is None:
+        return (bgr[..., ::-1].astype(np.float32) / 255.0).transpose(2, 0, 1)
+    out = np.empty((3, h, w), np.float32)
+    lib.tandem_bgr_to_rgb_chw(_ptr(bgr, ctypes.c_uint8), w, h,
+                              _ptr(out, ctypes.c_float))
+    return out

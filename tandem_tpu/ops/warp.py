@@ -22,6 +22,7 @@ from jax import lax
 _PREC = lax.Precision.HIGHEST
 
 from .grid_sample import bilinear_sample_pixel
+from .linalg import invert_pixel_projection
 
 
 def _pixel_projection_matrix(K, world_to_cam):
@@ -47,12 +48,12 @@ def plane_sweep_warp(src_features, ref_depth, *, src_K, src_cam_to_world,
     D = ref_depth.shape[1]
     f32 = jnp.float32
 
-    ref_w2c = _rigid_inverse(ref_cam_to_world.astype(f32))
     src_w2c = _rigid_inverse(src_cam_to_world.astype(f32))
-    ref_w2p = _pixel_projection_matrix(ref_K.astype(f32), ref_w2c)
     src_w2p = _pixel_projection_matrix(src_K.astype(f32), src_w2c)
-    # ref pixel -> src pixel (B, 4, 4); general inverse: ref_w2p is not rigid.
-    ref_p2w = jnp.linalg.inv(ref_w2p)
+    # ref pixel -> world: closed-form inverse of [K(R|t); 0 1] — XLA's
+    # generic linalg.inv is an LU custom call costing ~24 ms on TPU.
+    ref_p2w = invert_pixel_projection(ref_K.astype(f32),
+                                      ref_cam_to_world.astype(f32))
     ref_to_src = jnp.einsum("bij,bjk->bik", src_w2p, ref_p2w, precision=_PREC)
     rot = ref_to_src[:, :3, :3]
     trans = ref_to_src[:, :3, 3]

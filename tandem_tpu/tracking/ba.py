@@ -36,6 +36,7 @@ import numpy as np
 from jax import lax
 
 from ..core.se3 import se3_exp, se3_inverse
+from ..ops.linalg import inv_psd_small, solve_psd
 
 # DSO's 8-point residual pattern (tandem/src/util/settings.h staticPattern).
 PATTERN = np.array([[0, -2], [-1, -1], [1, -1], [-2, 0],
@@ -228,7 +229,7 @@ def ba_iterate(state: BAState, images, K, iters: int = 4,
         A = H_ff - H_sc + lm_lambda * jnp.diag(jnp.diag(H_ff)) \
             + 1e-6 * jnp.eye(P)
         rhs = -(b_f - b_sc)
-        dx = jnp.linalg.solve(A, rhs)                     # (P,)
+        dx = solve_psd(A, rhs)                            # (P,)
 
         d_id = -(b_p + H_fp @ dx) / H_pp_safe             # (N,)
         d_id = jnp.where(state.pt_valid, d_id, 0.0)
@@ -282,7 +283,7 @@ def marginalize_frame(state: BAState, images, K, frame_idx):
     Hab8 = lax.dynamic_slice(Hab, (0, sl), (P, 8))       # (P, 8), rows b-blk 0
     bb8 = lax.dynamic_slice(b, (sl,), (8,))
 
-    Hbb_inv = jnp.linalg.inv(Hbb8)
+    Hbb_inv = inv_psd_small(Hbb8, 8)
     Hm_new = H - Hab8 @ Hbb_inv @ Hab8.T
     bm_new = b - Hab8 @ (Hbb_inv @ bb8)
     # Zero out the marginalized row/col entirely.

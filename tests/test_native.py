@@ -1,0 +1,73 @@
+"""Native C++ library: build, and parity with the numpy/JAX fallbacks."""
+
+import numpy as np
+import pytest
+
+from tandem_tpu import native_bridge as nb
+
+
+@pytest.fixture(scope="module")
+def lib():
+    lib = nb.get_lib()
+    if lib is None:
+        pytest.skip("native toolchain unavailable")
+    return lib
+
+
+def test_version(lib):
+    assert lib.tandem_native_version() == 1
+
+
+def test_remap_identity(lib, rng):
+    img = (rng.rand(40, 50, 3) * 255).astype(np.uint8)
+    ys, xs = np.mgrid[0:40, 0:50].astype(np.float32)
+    out = nb.remap_u8(img, xs, ys)
+    np.testing.assert_allclose(out[:39, :49], img[:39, :49].astype(np.float32),
+                               atol=1e-3)
+
+
+def test_remap_matches_numpy(lib, rng):
+    img = (rng.rand(40, 50) * 255).astype(np.uint8)
+    mx = (rng.rand(30, 30) * 48).astype(np.float32)
+    my = (rng.rand(30, 30) * 38).astype(np.float32)
+    native = nb.remap_u8(img, mx, my)
+
+    x0 = np.floor(mx).astype(int)
+    y0 = np.floor(my).astype(int)
+    wx = mx - x0
+    wy = my - y0
+    s = img.astype(np.float32)
+    expect = (s[y0, x0] * (1 - wx) * (1 - wy) + s[y0, x0 + 1] * wx * (1 - wy)
+              + s[y0 + 1, x0] * (1 - wx) * wy + s[y0 + 1, x0 + 1] * wx * wy)
+    np.testing.assert_allclose(native, expect, atol=1e-3)
+
+
+def test_remap_lut(lib, rng):
+    img = np.full((8, 8), 100, np.uint8)
+    ys, xs = np.mgrid[0:8, 0:8].astype(np.float32)
+    lut = (np.arange(256, dtype=np.float32) * 2.0)
+    out = nb.remap_u8(img, xs, ys, lut256=lut)
+    np.testing.assert_allclose(out[:7, :7], 200.0, atol=1e-3)
+
+
+def test_pyramid_matches_jax(lib, rng):
+    img = (rng.rand(64, 96) * 255).astype(np.float32)
+    native = nb.build_pyramid_native(img, 4)
+
+    import jax.numpy as jnp
+    from tandem_tpu.core.pyramid import build_pyramid
+    ref = build_pyramid(jnp.asarray(img), 4)
+    for l in range(4):
+        np.testing.assert_allclose(native[l][0], np.asarray(ref[l]["img"]),
+                                   atol=1e-4)
+        np.testing.assert_allclose(native[l][1], np.asarray(ref[l]["gx"]),
+                                   atol=1e-4)
+        np.testing.assert_allclose(native[l][2], np.asarray(ref[l]["gy"]),
+                                   atol=1e-4)
+
+
+def test_bgr_to_rgb(lib, rng):
+    bgr = (rng.rand(16, 20, 3) * 255).astype(np.uint8)
+    out = nb.bgr_to_rgb_chw(bgr)
+    expect = (bgr[..., ::-1].astype(np.float32) / 255.0).transpose(2, 0, 1)
+    np.testing.assert_allclose(out, expect, atol=1e-6)
