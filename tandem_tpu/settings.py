@@ -1,0 +1,125 @@
+"""Runtime settings and presets.
+
+Parity target: tandem/src/util/settings.{h,cpp} (the ~120 setting_* knobs
+that matter to this rebuild) and the preset bundles in
+tandem/src/util/commandline.cpp:17-131 (dataset / gui / runtime / demo) plus
+the key=value argument chain (:149-410). The strict-merge behaviour matches
+the Python config system: unknown keys raise.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Optional
+
+
+@dataclasses.dataclass
+class Settings:
+    # --- core DSO knobs (settings.h:49-263) ---
+    desired_immature_density: float = 1500.0
+    desired_point_density: float = 2000.0
+    min_frames: int = 5            # setting_minFrames
+    max_frames: int = 7            # setting_maxFrames
+    max_opt_iterations: int = 6
+    min_opt_iterations: int = 1
+    kf_global_weight: float = 1.0  # setting_kfGlobalWeight
+    huber_th: float = 9.0
+    coarse_cutoff_th: float = 20.0
+    # photometric calibration mode: 0 = have calib, 1 = none (affine), 2 =
+    # none + no exposure times (commandline.cpp mode handling :281-301)
+    mode: int = 1
+    # --- TANDEM knobs (settings.h:224-331) ---
+    mvsnet_folder: str = ""
+    mvsnet_flag: bool = False       # enabled iff mvsnet_folder set
+    mvsnet_discard_percentage: float = 10.0
+    tsdf_fusion: bool = True
+    tracking_type: str = "dense"    # "sparse" | "dense"
+    tracking_device: str = "tpu"    # reference: cpu | cuda
+    tracking_step: int = 3          # setting_tracking_step
+    dr_mvsnet_view_num: int = 7
+    mesh_extraction_freq: int = 10
+    dense_tracking_with_dense_depth_only: bool = False
+    dr_timing: bool = False
+    # --- runtime behaviour ---
+    preload: bool = False
+    quiet: bool = True
+    nolog: bool = False
+    reverse: bool = False
+    start: int = 0
+    end: int = 100000
+    preset: str = "dataset"
+    # RGB-D mode (rgbd_flag)
+    rgbd: bool = False
+    rgbd_depth_scale: float = 1.0
+
+
+def preset(name: str) -> Settings:
+    """Preset bundles (commandline.cpp:17-131)."""
+    s = Settings(preset=name)
+    if name == "dataset":
+        # deterministic evaluation: sparse+dense CPU-style tracking, no drops
+        s.preload = False
+        s.tracking_type = "dense"
+        s.mesh_extraction_freq = 10
+    elif name == "runtime":
+        # real-time: preload images, dense tracking on accelerator, allow
+        # frame drops (commandline.cpp:76-101)
+        s.preload = True
+        s.tracking_type = "dense"
+        s.tracking_device = "tpu"
+    elif name == "gui":
+        s.preload = False
+    elif name == "demo":
+        s.preload = False
+        s.tracking_type = "dense"
+        s.mode = 1
+    else:
+        raise ValueError(f"Unknown preset {name}")
+    return s
+
+
+_BOOL_KEYS = {"tsdf_fusion", "preload", "quiet", "nolog", "reverse", "rgbd",
+              "dr_timing", "dense_tracking_with_dense_depth_only",
+              "mvsnet_flag"}
+_INT_KEYS = {"min_frames", "max_frames", "max_opt_iterations", "mode",
+             "tracking_step", "dr_mvsnet_view_num", "mesh_extraction_freq",
+             "start", "end", "min_opt_iterations"}
+_FLOAT_KEYS = {"desired_immature_density", "desired_point_density",
+               "kf_global_weight", "huber_th", "coarse_cutoff_th",
+               "mvsnet_discard_percentage", "rgbd_depth_scale"}
+
+
+def parse_arguments(argv, base: Optional[Settings] = None) -> Settings:
+    """key=value chain; first arg may be preset=NAME (mandatory first in the
+    reference)."""
+    s = base
+    rest = []
+    for a in argv:
+        if a.startswith("preset="):
+            s = preset(a.split("=", 1)[1])
+        else:
+            rest.append(a)
+    s = s or Settings()
+    for a in rest:
+        if "=" not in a:
+            continue
+        k, v = a.split("=", 1)
+        if k == "tracking":
+            # tracking=sparse | dense:cpu | dense:tpu (commandline.cpp:312)
+            parts = v.split(":")
+            s.tracking_type = parts[0]
+            if len(parts) > 1:
+                s.tracking_device = parts[1]
+            continue
+        if not hasattr(s, k):
+            raise KeyError(f"Unknown setting {k}")
+        if k in _BOOL_KEYS:
+            setattr(s, k, v not in ("0", "false", "False"))
+        elif k in _INT_KEYS:
+            setattr(s, k, int(v))
+        elif k in _FLOAT_KEYS:
+            setattr(s, k, float(v))
+        else:
+            setattr(s, k, v)
+    s.mvsnet_flag = bool(s.mvsnet_folder)
+    return s
