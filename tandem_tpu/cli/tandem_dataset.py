@@ -105,6 +105,13 @@ def main(argv=None):
         bgr = cv2.imread(os.path.join(args["files"], fname))
         gray = cv2.cvtColor(bgr, cv2.COLOR_BGR2GRAY).astype(np.float32)
         fs.add_active_frame(gray, i, float(i) / 30.0, bgr=bgr)
+        # Auto-reset within the first 250 frames on init failure / early loss
+        # (main_tandem_pangolin.cpp:237-255).
+        if (fs.init_failed or fs.is_lost) and i < 250:
+            print(f"RESETTING at frame {i} (init_failed={fs.init_failed})")
+            fs = FullSystem(fx, fy, cx, cy, H, W, backend=backend,
+                            timer=timer)
+            continue
         if fs.is_lost:
             print(f"LOST at frame {i}")
             break

@@ -94,7 +94,9 @@ class FullSystem:
         self.prev_c2w = np.eye(4, dtype=np.float32)
         self.initialized = False
         self.is_lost = False
+        self.init_failed = False
         self.init_frames = 0
+        self._last_energy: Optional[float] = None
         self.windows: List[List[int]] = []
 
     # ------------------------------------------------------------------
@@ -115,12 +117,30 @@ class FullSystem:
         T_init = self._motion_model()
         out = track_frame(self.tracker_ref, img, jnp.asarray(T_init),
                           jnp.array([1.0, 0.0]))
+        energy = float(out["energy"])
+
+        # Multi-hypothesis re-tracking when the motion model fails
+        # (FullSystem.cpp:449-529 rotation-perturbation retry list).
+        bad = (not np.isfinite(energy)
+               or float(out["valid_frac"]) < 0.3
+               or (self._last_energy is not None
+                   and energy > 8.0 * max(self._last_energy, 1.0)))
+        if bad:
+            from ..tracking.coarse_tracker import (rotation_perturbations,
+                                                   track_frame_multi)
+            perts = rotation_perturbations()
+            T_cands = jnp.asarray(
+                np.einsum("nij,jk->nik", perts, T_init).astype(np.float32))
+            out = track_frame_multi(self.tracker_ref, img, T_cands,
+                                    jnp.array([1.0, 0.0]))
+            energy = float(out["energy"])
         self.timer.end_timing("track_frame", tid)
 
-        energy = float(out["energy"])
         if not np.isfinite(energy):
+            # "BIG ERROR! tracking failed entirely" (FullSystem.cpp:610-615)
             self.is_lost = True
             return
+        self._last_energy = energy
         T = np.asarray(out["T"])                # ref -> new (w2c rel)
         c2w = self.ref_kf.c2w @ np.asarray(se3_inverse(jnp.asarray(T)))
         self._record_pose(frame_id, timestamp, c2w)
@@ -188,6 +208,13 @@ class FullSystem:
             self.tracker_ref = make_tracker_ref(
                 kf.image, *self.K, sparse_idepth=jnp.asarray(idepth0),
                 sparse_weight=jnp.asarray(weight0))
+
+        if self.init_frames > 40:
+            # Initialization failure -> auto-reset by the caller
+            # (initFailed semantics, FullSystem.cpp:1351-1364 +
+            # main_tandem_pangolin.cpp:237-255 destroy/recreate loop).
+            self.init_failed = True
+            return
 
         if (narrowed.mean() > self.opt.init_min_good_frac
                 and np.median(widths[narrowed]) < self.opt.init_max_width

@@ -295,6 +295,40 @@ def _lm_level(T, aff, level_data, max_iter):
     return T_out, aff_out, e, n
 
 
+def rotation_perturbations(scale: float = 0.02):
+    """The DSO-style retry list: identity + small rotations about each axis
+    and their combinations (trackNewCoarse tries ~27 perturbed
+    initializations when the motion model fails, FullSystem.cpp:449-529).
+    Returns (N, 4, 4)."""
+    import numpy as np
+    deltas = [np.zeros(3)]
+    for axis in range(3):
+        for sign in (1, -1):
+            e = np.zeros(3)
+            e[axis] = sign * scale
+            deltas.append(e)
+    for sx in (1, -1):
+        for sy in (1, -1):
+            for sz in (1, -1):
+                deltas.append(np.array([sx, sy, sz]) * scale * 0.7)
+    out = []
+    for d in deltas:
+        xi = np.concatenate([np.zeros(3), d]).astype(np.float32)
+        out.append(np.asarray(se3_exp(jnp.asarray(xi))))
+    return np.stack(out)
+
+
+@jax.jit
+def track_frame_multi(ref: CoarseTrackerRef, new_image, T_inits, aff_init):
+    """Try several initializations in parallel (vmapped coarse-to-fine LM)
+    and return the best by level-0 energy."""
+    outs = jax.vmap(lambda T: track_frame(ref, new_image, T, aff_init))(
+        T_inits)
+    best = jnp.argmin(jnp.where(jnp.isfinite(outs["energy"]),
+                                outs["energy"], jnp.inf))
+    return jax.tree_util.tree_map(lambda x: x[best], outs)
+
+
 @jax.jit
 def track_frame(ref: CoarseTrackerRef, new_image, T_init, aff_init):
     """Coarse-to-fine photometric LM alignment.
