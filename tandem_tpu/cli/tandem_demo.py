@@ -1,0 +1,87 @@
+"""Live-camera demo CLI — the tandem_demo (realsense) equivalent.
+
+Runs the full TANDEM pipeline on a live camera (OpenCV UVC) or a replayed
+image folder for ``demo_secs`` seconds (main_tandem_realsense.cpp:162-190
+loop semantics), then writes results + mesh.
+
+Usage:
+  python -m tandem_tpu.cli.tandem_demo camera=0 demo_secs=30 \
+      [calib=camera.txt] [mvsnet_folder=DIR] [result_folder=OUT]
+  python -m tandem_tpu.cli.tandem_demo replay=IMG_DIR calib=camera.txt ...
+"""
+
+from __future__ import annotations
+
+import os
+import sys
+import time
+
+import numpy as np
+
+
+def main(argv=None):
+    argv = argv if argv is not None else sys.argv[1:]
+    args = {"camera": None, "replay": None, "calib": None, "demo_secs": 30.0,
+            "result_folder": "demo_results", "mvsnet_folder": None}
+    for a in argv:
+        if "=" in a:
+            k, v = a.split("=", 1)
+            if k == "demo_secs":
+                v = float(v)
+            args[k] = v
+
+    import cv2
+
+    from ..pipeline.camera import OpenCVCamera, ReplayCamera
+    from ..pipeline.full_system import FullSystem
+    from .tandem_dataset import read_calib
+
+    if args["replay"]:
+        assert args["calib"], "replay needs calib="
+        fx, fy, cx, cy, W, H = read_calib(args["calib"])
+        cam = ReplayCamera(args["replay"], (fx, fy, cx, cy))
+    else:
+        cam = OpenCVCamera(int(args["camera"] or 0))
+    fx, fy, cx, cy, W, H = cam.intrinsics()
+
+    backend = None
+    if args["mvsnet_folder"]:
+        import pickle
+        import jax.numpy as jnp
+        from ..mapping.tsdf import TsdfConfig
+        from ..models.cva_mvsnet import CvaMVSNet
+        from ..pipeline.backend import TandemBackend
+        from ..pipeline.mvsnet_runner import MvsnetRunner
+        with open(os.path.join(args["mvsnet_folder"],
+                               "model_variables.pkl"), "rb") as f:
+            variables = pickle.load(f)
+        model = CvaMVSNet(view_aggregation=True, dtype=jnp.bfloat16)
+        runner = MvsnetRunner(model, variables, H, W, view_num=7)
+        K_mat = np.array([[fx, 0, cx], [0, fy, cy], [0, 0, 1]], np.float32)
+        backend = TandemBackend(runner, TsdfConfig(), K_mat, H, W)
+
+    fs = FullSystem(fx, fy, cx, cy, H, W, backend=backend)
+    t0 = time.time()
+    n = 0
+    for bgr, ts in cam.frames():
+        if time.time() - t0 > args["demo_secs"]:
+            break
+        gray = cv2.cvtColor(bgr, cv2.COLOR_BGR2GRAY).astype(np.float32)
+        fs.add_active_frame(gray, n, ts, bgr=bgr)
+        n += 1
+        if fs.is_lost:
+            print("tracking lost")
+            break
+
+    os.makedirs(args["result_folder"], exist_ok=True)
+    fs.write_results(args["result_folder"])
+    if backend is not None:
+        from ..mapping.mesh import save_obj
+        verts, faces, cols = backend.extract_mesh_now()
+        save_obj(os.path.join(args["result_folder"], "mesh.obj"),
+                 verts, faces, cols)
+    print(f"demo: {n} frames in {time.time() - t0:.1f}s")
+
+
+if __name__ == "__main__":
+    main()

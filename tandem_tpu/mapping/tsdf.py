@@ -48,6 +48,7 @@ class TsdfConfig:
     max_weight: float = 64.0
     min_depth: float = 0.1
     max_depth: float = 10.0
+    image_width: int = 640         # set per-call by integrate()
 
     @property
     def block_extent(self) -> float:
@@ -153,44 +154,45 @@ def allocate_blocks(cfg: TsdfConfig, vol: TsdfVolume, depth, K, cam_to_world):
                        n_allocated=vol.n_allocated + n_new)
 
 
-@partial(jax.jit, static_argnums=(0,), donate_argnums=(1,))
-def integrate(cfg: TsdfConfig, vol: TsdfVolume, depth, color, K, cam_to_world):
-    """Fuse one (depth, color) scan into the volume.
+@partial(jax.jit, static_argnums=(0, 7), donate_argnums=(1,))
+def _integrate_chunk(cfg: TsdfConfig, vol: TsdfVolume, depth_color, K,
+                     w2c_R, w2c_t, start, chunk: int):
+    """Fuse one scan into ``chunk`` pool blocks beginning at slot ``start``.
 
-    :param depth: (H, W); color: (H, W, 3) float [0,255] RGB; K: (3,3)
+    depth_color: (H*W, 4) packed [depth, r, g, b] — one wide-row gather
+    serves depth and color together (narrow gathers are the TPU killer).
     """
-    H, W = depth.shape
-    P, B3 = cfg.pool_size, cfg.block_size ** 3
+    HW = depth_color.shape[0]
     b = cfg.block_size
+    B3 = b ** 3
 
-    w2c_R = cam_to_world[:3, :3].T
-    w2c_t = -w2c_R @ cam_to_world[:3, 3]
+    coords = jax.lax.dynamic_slice_in_dim(vol.block_coords, start, chunk, 0)
+    tsdf_c = jax.lax.dynamic_slice_in_dim(vol.tsdf, start, chunk, 0)
+    weight_c = jax.lax.dynamic_slice_in_dim(vol.weight, start, chunk, 0)
+    color_c = jax.lax.dynamic_slice_in_dim(vol.color, start, chunk, 0)
 
-    # Voxel world positions for every pool slot: (P, B3, 3)
     li = jnp.arange(B3, dtype=jnp.int32)
-    lx = li % b
-    ly = (li // b) % b
-    lz = li // (b * b)
-    local = jnp.stack([lx, ly, lz], -1)  # (B3, 3), x fastest
-    vox_w = (vol.block_coords[:, None, :] * b + local[None]) * cfg.voxel_size
-
-    vox_cam = vox_w @ w2c_R.T + w2c_t  # (P, B3, 3)
+    local = jnp.stack([li % b, (li // b) % b, li // (b * b)], -1)
+    vox_w = (coords[:, None, :] * b + local[None]) * cfg.voxel_size
+    vox_cam = vox_w @ w2c_R.T + w2c_t                   # (C, B3, 3)
     z = vox_cam[..., 2]
 
     fx, fy, cx, cy = K[0, 0], K[1, 1], K[0, 2], K[1, 2]
+    img_w = cfg.image_width
+    img_h = HW // img_w
     z_safe = jnp.where(z <= 1e-6, 1.0, z)
     u = jnp.round(fx * vox_cam[..., 0] / z_safe + cx).astype(jnp.int32)
     v = jnp.round(fy * vox_cam[..., 1] / z_safe + cy).astype(jnp.int32)
-    in_img = (z > 0) & (u >= 0) & (u < W) & (v >= 0) & (v < H)
+    in_img = (z > 0) & (u >= 0) & (u < img_w) & (v >= 0) & (v < img_h)
 
-    slot_active = (jnp.arange(P) < vol.n_allocated)[:, None]
+    slot_active = ((start + jnp.arange(chunk)) < vol.n_allocated)[:, None]
 
-    pix = jnp.where(in_img, v * W + u, 0)
-    d_px = depth.reshape(-1)[pix]                       # (P, B3)
-    c_px = color.reshape(-1, 3)[pix]                    # (P, B3, 3)
+    pix = jnp.where(in_img, v * img_w + u, 0).reshape(-1)
+    dc = depth_color[pix].reshape(chunk, B3, 4)          # wide-row gather
+    d_px = dc[..., 0]
+    c_px = dc[..., 1:]
     d_ok = (d_px > 0) & (d_px >= cfg.min_depth) & (d_px < cfg.max_depth)
 
-    # Euclidean distances from the camera origin (IntegrateScanKernel:478-487).
     surf_pt = _unproject(u, v, d_px, K)
     surface_dist = jnp.linalg.norm(surf_pt, axis=-1)
     voxel_dist = jnp.linalg.norm(vox_cam, axis=-1)
@@ -199,18 +201,47 @@ def integrate(cfg: TsdfConfig, vol: TsdfVolume, depth, color, K, cam_to_world):
               (voxel_dist < surface_dist + cfg.truncation)
     in_free = voxel_dist < surface_dist - cfg.truncation
     update = slot_active & in_img & d_ok & (in_band | in_free)
-
     sdf_new = jnp.where(in_band, surface_dist - voxel_dist, cfg.truncation)
 
-    w_old = vol.weight
-    denom = w_old + 1.0
-    tsdf = jnp.where(update, (vol.tsdf * w_old + sdf_new) / denom, vol.tsdf)
-    new_color = jnp.where(update[..., None],
-                          (vol.color * w_old[..., None] + c_px) / denom[..., None],
-                          vol.color)
-    weight = jnp.where(update, jnp.minimum(denom, cfg.max_weight), w_old)
+    denom = weight_c + 1.0
+    tsdf_n = jnp.where(update, (tsdf_c * weight_c + sdf_new) / denom, tsdf_c)
+    color_n = jnp.where(update[..., None],
+                        (color_c * weight_c[..., None] + c_px)
+                        / denom[..., None], color_c)
+    weight_n = jnp.where(update, jnp.minimum(denom, cfg.max_weight), weight_c)
 
-    return vol.replace(tsdf=tsdf, weight=weight, color=new_color)
+    return vol.replace(
+        tsdf=jax.lax.dynamic_update_slice_in_dim(vol.tsdf, tsdf_n, start, 0),
+        weight=jax.lax.dynamic_update_slice_in_dim(vol.weight, weight_n,
+                                                   start, 0),
+        color=jax.lax.dynamic_update_slice_in_dim(vol.color, color_n,
+                                                  start, 0))
+
+
+def integrate(cfg: TsdfConfig, vol: TsdfVolume, depth, color, K, cam_to_world,
+              chunk: int = 4096):
+    """Fuse one (depth, color) scan into the volume.
+
+    Host-driven chunking over ALLOCATED blocks only (the reference likewise
+    iterates over live hash entries, IntegrateScanKernel:436-); each chunk is
+    a fixed-shape jitted update so the cost scales with the active surface,
+    not the pool capacity.
+
+    :param depth: (H, W); color: (H, W, 3) float [0,255] RGB; K: (3,3)
+    """
+    H, W = depth.shape
+    cfg = dataclasses.replace(cfg, image_width=W)
+    depth_color = jnp.concatenate(
+        [depth.reshape(-1, 1), color.reshape(-1, 3)], -1)
+    w2c_R = cam_to_world[:3, :3].T
+    w2c_t = -w2c_R @ cam_to_world[:3, 3]
+    chunk = min(chunk, cfg.pool_size)
+    assert cfg.pool_size % chunk == 0, "chunk must divide pool_size"
+    n = int(vol.n_allocated)
+    for start in range(0, max(n, 1), chunk):
+        vol = _integrate_chunk(cfg, vol, depth_color, K, w2c_R, w2c_t,
+                               start, chunk)
+    return vol
 
 
 def _get_voxels(cfg: TsdfConfig, vol: TsdfVolume, pts_w):
@@ -265,11 +296,20 @@ def _get_interpolated(cfg: TsdfConfig, vol: TsdfVolume, pts_w):
 def raycast(cfg: TsdfConfig, vol: TsdfVolume, K_and_pose, H: int, W: int):
     """Render depth + color from a virtual camera by sphere tracing.
 
+    TPU design: the march uses NEAREST-voxel sdf lookups through a packed
+    (tsdf, weight) array — two wide-ish row gathers per step for all rays —
+    and a single trilinear evaluation refines the hit. This matches the
+    reference closely: GetInterpolatedVoxel itself falls back to the nearest
+    voxel whenever the centre voxel is empty (tsdf_volume.cu:161-), which is
+    every free-space step; only the 1-2 near-surface steps differ, bounded by
+    the voxel size (the hit criterion is sdf < voxel_size).
+
     :param K_and_pose: (K (3,3), cam_to_world (4,4))
     :return: depth (H, W) float32 (0 where no hit), color (H, W, 3)
     """
     K, cam_to_world = K_and_pose
     N = H * W
+    b = cfg.block_size
     u = jnp.tile(jnp.arange(W, dtype=jnp.float32), H)
     v = jnp.repeat(jnp.arange(H, dtype=jnp.float32), W)
     R = cam_to_world[:3, :3]
@@ -279,18 +319,35 @@ def raycast(cfg: TsdfConfig, vol: TsdfVolume, K_and_pose, H: int, W: int):
     ray_cam = jnp.stack([(u - cx) / fx, (v - cy) / fy, jnp.ones(N)], -1)
     ray_w = ray_cam @ R.T  # direction scaled so that step == z-depth step
 
-    def lookup(cur):
+    packed = jnp.concatenate([vol.tsdf.reshape(-1, 1),
+                              vol.weight.reshape(-1, 1)], -1)  # (P*B3, 2)
+    B3 = b ** 3
+
+    def lookup_nearest(cur):
         pts = t + ray_w * cur[:, None]
-        return _get_interpolated(cfg, vol, pts)
+        vox = jnp.floor(pts / cfg.voxel_size).astype(jnp.int32)
+        block = jnp.floor(pts / cfg.block_extent).astype(jnp.int32)
+        local = jnp.clip(vox - block * b, 0, b - 1)
+        flat_tab, in_arena = _table_index(cfg, block)
+        slot = vol.page_table[flat_tab]
+        allocated = (slot >= 0) & in_arena
+        li = (local[:, 2] * b + local[:, 1]) * b + local[:, 0]
+        idx = jnp.where(allocated, slot, 0) * B3 + li
+        sw = packed[idx]
+        sdf = sw[:, 0]
+        wgt = jnp.where(allocated, sw[:, 1], 0.0)
+        return sdf, wgt
+
+    max_steps = int(np.ceil(cfg.max_depth / cfg.truncation)) + 32
 
     def cond(state):
         cur, hit, it = state
         active = (~hit) & (cur < cfg.max_depth)
-        return jnp.any(active) & (it < 1024)
+        return jnp.any(active) & (it < max_steps)
 
     def body(state):
         cur, hit, it = state
-        sdf, w, _ = lookup(cur)
+        sdf, w = lookup_nearest(cur)
         step = jnp.where(w > 0, sdf, cfg.truncation)
         active = (~hit) & (cur < cfg.max_depth)
         # The reference advances BEFORE its break check, so the returned depth
@@ -304,7 +361,9 @@ def raycast(cfg: TsdfConfig, vol: TsdfVolume, K_and_pose, H: int, W: int):
     cur, hit, _ = jax.lax.while_loop(cond, body, (cur, hit, jnp.int32(0)))
 
     found = hit & (cur < cfg.max_depth)
-    _, _, col = lookup(cur)
+    # Single trilinear evaluation at the hit point for the rendered color
+    # (and sdf refinement parity with GetInterpolatedVoxel).
+    _, _, col = _get_interpolated(cfg, vol, t + ray_w * cur[:, None])
     depth_out = jnp.where(found, cur, 0.0).reshape(H, W)
     color_out = jnp.where(found[:, None], col, 0.0).reshape(H, W, 3)
     return depth_out, color_out
