@@ -66,8 +66,14 @@ def load_torch_weights(path: str, view_aggregation: bool = True) -> Dict:
 
 
 def load_any(path: str, state=None, view_aggregation: bool = True):
-    """Dual-format loader: orbax dir -> TrainState, torch file -> variables."""
+    """Multi-format loader: orbax dir -> TrainState; .pkl variables file (the
+    exported deployable unit) -> variables; torch .ckpt -> converted
+    variables (load_ckpt.py dual-format behaviour)."""
     if os.path.isdir(path):
         assert state is not None
         return load_checkpoint(path, state)
+    if path.endswith(".pkl"):
+        import pickle
+        with open(path, "rb") as f:
+            return jax.tree_util.tree_map(jnp.asarray, pickle.load(f))
     return load_torch_weights(path, view_aggregation)

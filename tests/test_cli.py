@@ -1,0 +1,95 @@
+"""CLI end-to-end smoke tests (headless runtime, export+golden, ATE)."""
+
+import os
+import subprocess
+import sys
+
+import numpy as np
+import pytest
+
+cv2 = pytest.importorskip("cv2")
+
+from tests.test_coarse_tracker import render_plane, H, W, FX, FY, CX, CY
+from tests.test_full_system import make_sequence
+
+
+def _write_image_folder(tmp_path, n=10):
+    img_dir = tmp_path / "images"
+    os.makedirs(img_dir, exist_ok=True)
+    poses, images = make_sequence(n=n, step=0.02)
+    for i, img in enumerate(images):
+        bgr = np.stack([img] * 3, -1).astype(np.uint8)
+        cv2.imwrite(str(img_dir / f"{i:06d}.png"), bgr)
+    calib = tmp_path / "camera.txt"
+    calib.write_text(f"Pinhole {FX} {FY} {CX} {CY} 0\n{W} {H}\n")
+    return img_dir, calib
+
+
+def test_tandem_dataset_cli(tmp_path):
+    img_dir, calib = _write_image_folder(tmp_path)
+    out = tmp_path / "out"
+    from tandem_tpu.cli.tandem_dataset import main
+    main([f"files={img_dir}", f"calib={calib}", f"result_folder={out}",
+          "dr_timing=1"])
+    assert (out / "result.txt").exists()
+    assert (out / "poses_dso.txt").exists()
+    assert (out / "dr_times.txt").exists()
+    lines = open(out / "result.txt").readlines()
+    assert len(lines) >= 8
+
+
+def test_tandem_export_and_golden(tmp_path):
+    from tandem_tpu.cli import tandem_export as te
+    from tandem_tpu.models.cva_mvsnet import CvaMVSNet
+    from tandem_tpu.pipeline.mvsnet_runner import init_variables
+    import pickle
+
+    # Small synthetic export (no checkpoint: create random variables and
+    # save them in the loader's format)
+    model = CvaMVSNet(view_aggregation=True)
+    variables = init_variables(model, 64, 96, 4)
+    ckpt = tmp_path / "model_variables.pkl"
+    import jax
+    with open(ckpt, "wb") as f:
+        pickle.dump(jax.device_get(variables), f)
+
+    args = te.parser.parse_args([
+        "--ckpt", str(ckpt), "--out-dir", str(tmp_path / "exported"),
+        "--width", "96", "--height", "64", "--view-num", "4"])
+    te.main(args)
+
+    pack = tmp_path / "exported" / "sample_inputs.npz"
+    assert pack.exists()
+    # verify_golden passes on replay
+    err = te.verify_golden(str(pack), variables, args)
+    assert err < te.GOLDEN_TOL
+
+
+def test_tandem_ate_cli(tmp_path, capsys):
+    from tandem_tpu.cli import tandem_ate
+    from tandem_tpu.pipeline.io import write_result_tum
+
+    n = 20
+    ts = [i * 0.1 for i in range(n)]
+    poses = []
+    for i in range(n):
+        T = np.eye(4)
+        T[:3, 3] = (0.1 * i, 0.05 * i, 0)
+        poses.append(T)
+    write_result_tum(str(tmp_path / "est.txt"), ts, poses)
+    # gt = est scaled by 2 -> rmse ~0 with --scale
+    poses_gt = [p.copy() for p in poses]
+    for p in poses_gt:
+        p[:3, 3] *= 2
+    write_result_tum(str(tmp_path / "gt.txt"), ts, poses_gt)
+
+    tandem_ate.main(tandem_ate.parser.parse_args(
+        ["--est", str(tmp_path / "est.txt"), "--gt", str(tmp_path / "gt.txt"),
+         "--scale"]))
+    out = capsys.readouterr().out
+    rmse = float([ln for ln in out.splitlines()
+                  if "rmse" in ln][0].split()[1])
+    assert rmse < 1e-6
+    scale = float([ln for ln in out.splitlines()
+                   if "alignment_scale" in ln][0].split()[1])
+    assert abs(scale - 2.0) < 1e-6
