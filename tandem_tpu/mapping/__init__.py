@@ -1,3 +1,3 @@
 from .tsdf import (TsdfConfig, TsdfVolume, create_volume, allocate_blocks,
-                   integrate, raycast)
+                   integrate, raycast, render_depth_splat)
 from .mesh import extract_mesh

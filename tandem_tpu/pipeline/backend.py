@@ -24,7 +24,7 @@ import jax.numpy as jnp
 import numpy as np
 
 from ..mapping.tsdf import (TsdfConfig, allocate_blocks, create_volume,
-                            integrate, raycast)
+                            integrate, raycast, render_depth_splat)
 from ..mapping.mesh import extract_mesh
 from ..utils.timer import Timer
 
@@ -66,6 +66,7 @@ class TandemBackend:
 
         self.volume = create_volume(tsdf_cfg)
         self.depth_map = TrackingDepthMap()
+        self.output_wrappers = []
         self.call_num = 0
         self._prev: Optional[dict] = None  # previous call's context
         self.last_mesh = None
@@ -94,10 +95,12 @@ class TandemBackend:
             self.volume = integrate(self.cfg, self.volume, depth, rgb, Kj,
                                     pose)
 
-            # Render from the requested next tracking reference pose
-            rdepth, _ = raycast(self.cfg, self.volume,
-                                (Kj, jnp.asarray(next_ref_c2w)),
-                                self.H, self.W)
+            # Render from the requested next tracking reference pose.
+            # Surface-splat renderer: O(allocated surface), no march loops —
+            # the sphere-traced raycast() remains available for color/debug.
+            rdepth = render_depth_splat(self.cfg, self.volume, Kj,
+                                        jnp.asarray(next_ref_c2w),
+                                        self.H, self.W)
             self.depth_map.write(np.asarray(rdepth),
                                  np.asarray(next_ref_c2w))
 
@@ -105,7 +108,12 @@ class TandemBackend:
                 self.last_mesh = extract_mesh(self.cfg, self.volume)
                 if self.mesh_callback:
                     self.mesh_callback(*self.last_mesh)
+                for ow in self.output_wrappers:
+                    ow.push_dr_mesh(*self.last_mesh)
             self._prev_result = res
+            for ow in self.output_wrappers:
+                ow.push_dr_kf_image(ref_bgr)
+                ow.push_dr_kf_depth(res["depth"], res["confidence"])
 
         # --- launch current call --------------------------------------
         ref_index = self.runner.view_num - 2

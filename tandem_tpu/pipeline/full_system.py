@@ -69,7 +69,7 @@ class Keyframe:
 class FullSystem:
     def __init__(self, fx, fy, cx, cy, height, width,
                  options: FullSystemOptions = None, backend=None,
-                 timer: Timer = None):
+                 timer: Timer = None, outputs=None):
         self.K = (float(fx), float(fy), float(cx), float(cy))
         self.K_mat = np.array([[fx, 0, cx], [0, fy, cy], [0, 0, 1]],
                               np.float32)
@@ -77,6 +77,7 @@ class FullSystem:
         self.opt = options or FullSystemOptions()
         self.backend = backend
         self.timer = timer or Timer(enabled=False)
+        self.outputs = outputs or []  # Output3DWrapper sinks
 
         F = self.opt.max_keyframes + 1
         self.ba_state = create_ba_state(F, self.opt.num_point_slots)
@@ -247,6 +248,8 @@ class FullSystem:
         self.all_poses.append(self.last_c2w.copy())
         self.all_ids.append(frame_id)
         self.all_ts.append(timestamp)
+        for ow in self.outputs:
+            ow.publish_cam_pose(frame_id, self.last_c2w)
 
     def _keyframe_decision(self, flow, out) -> bool:
         """Flow+brightness heuristic (FullSystem.cpp:1038-1058)."""
@@ -364,6 +367,9 @@ class FullSystem:
         # Record the optimization window (dso_optimization_windows format)
         win = sorted(k.frame_id for k in self.kf_of_slot if k is not None)
         self.windows.append(win)
+
+        for ow in self.outputs:
+            ow.publish_keyframes(self.keyframes)
 
         # TANDEM backend call on the active window
         if self.backend is not None:

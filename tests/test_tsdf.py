@@ -112,6 +112,34 @@ def test_raycast_sphere():
     assert np.median(err) < CFG.voxel_size * 2
 
 
+def test_render_depth_splat_wall():
+    from tandem_tpu.mapping.tsdf import render_depth_splat
+    K, pose = _camera()
+    depth = _wall_depth(2.0)
+    color = jnp.full((H, W, 3), 100.0)
+    vol = create_volume(CFG)
+    vol = allocate_blocks(CFG, vol, depth, K, pose)
+    for _ in range(3):
+        vol = integrate(CFG, vol, depth, color, K, pose)
+
+    rdepth = np.asarray(render_depth_splat(CFG, vol, K, pose, H, W))
+    crop = rdepth[8:-8, 8:-8]
+    hit = crop > 0
+    assert hit.mean() > 0.97
+    err = np.abs(crop[hit] - 2.0)
+    assert np.median(err) < CFG.voxel_size * 1.5, np.median(err)
+
+    # From a shifted pose: still consistent
+    pose2 = jnp.asarray(np.array(
+        [[1, 0, 0, 0.15], [0, 1, 0, 0.0], [0, 0, 1, -0.3], [0, 0, 0, 1]],
+        np.float32))
+    r2 = np.asarray(render_depth_splat(CFG, vol, K, pose2, H, W))
+    hit2 = r2[10:-10, 14:-14] > 0
+    assert hit2.mean() > 0.9
+    err2 = np.abs(r2[10:-10, 14:-14][hit2] - 2.3)
+    assert np.median(err2) < CFG.voxel_size * 2
+
+
 def test_extract_mesh_wall():
     K, pose = _camera()
     depth = _wall_depth(2.0)
