@@ -53,6 +53,7 @@ class FullSystemOptions:
     init_max_width: float = 0.25
     mvs_view_num: int = 7
     tracking_step: int = 3            # setting_tracking_step dense stride
+    rgbd: bool = False                # RGB-D mode (rgbd_flag)
 
 
 class Keyframe:
@@ -64,6 +65,7 @@ class Keyframe:
         self.slot: Optional[int] = None
         self.immature: Optional[ImmaturePoints] = None
         self.bgr: Optional[np.ndarray] = None
+        self.sensor_depth: Optional[np.ndarray] = None  # RGB-D mode
 
 
 class FullSystem:
@@ -102,12 +104,19 @@ class FullSystem:
 
     # ------------------------------------------------------------------
     def add_active_frame(self, gray: np.ndarray, frame_id: int,
-                         timestamp: float = None, bgr: np.ndarray = None):
+                         timestamp: float = None, bgr: np.ndarray = None,
+                         depth: np.ndarray = None):
+        """:param depth: optional sensor depth (RGB-D mode: rgbd_flag,
+        CoarseRGBDInitializer + gt-depth point seeding semantics)."""
         timestamp = float(frame_id) if timestamp is None else timestamp
         img = jnp.asarray(gray.astype(np.float32))
+        self._current_depth = depth
 
         if not self.keyframes:
-            self._first_frame(img, frame_id, timestamp, bgr)
+            if self.opt.rgbd and depth is not None:
+                self._first_frame_rgbd(img, frame_id, timestamp, bgr, depth)
+            else:
+                self._first_frame(img, frame_id, timestamp, bgr)
             return
 
         if not self.initialized:
@@ -154,6 +163,35 @@ class FullSystem:
             self._trace_on_frame(img, c2w)
 
     # ------------------------------------------------------------------
+    def _first_frame_rgbd(self, img, frame_id, timestamp, bgr, depth):
+        """RGB-D initialization: sensor depth provides metric structure at
+        frame 0 (CoarseRGBDInitializer, FullSystem.cpp:1000-1013)."""
+        kf = Keyframe(frame_id, timestamp, img, np.eye(4, dtype=np.float32))
+        kf.bgr = bgr
+        kf.sensor_depth = np.asarray(depth, np.float32)
+        self.keyframes.append(kf)
+        self.ref_kf = kf
+        self._record_pose(frame_id, timestamp, kf.c2w)
+        self._assign_slot(kf)
+
+        pyr = build_pyramid(img, 1)
+        mask = select_pixels(
+            pyr[0]["abs_grad2"],
+            threshold_factor=self.opt.selection_threshold_factor)
+        uv = self._mask_to_uv(np.asarray(mask), self.opt.immature_cap)
+        d = kf.sensor_depth[uv[:, 1].astype(int), uv[:, 0].astype(int)]
+        ok = d > 0.05
+        self._insert_points(kf, uv, 1.0 / np.maximum(d, 0.05), ok)
+
+        valid = kf.sensor_depth > 0.05
+        idepth0 = np.where(valid, 1.0 / np.maximum(kf.sensor_depth, 0.05),
+                           0.0).astype(np.float32)
+        self.tracker_ref = make_tracker_ref(
+            img, *self.K, sparse_idepth=jnp.asarray(idepth0),
+            sparse_weight=jnp.asarray(valid.astype(np.float32)))
+        kf.immature = make_immature(jnp.asarray(uv), img)
+        self.initialized = True
+
     def _first_frame(self, img, frame_id, timestamp, bgr):
         kf = Keyframe(frame_id, timestamp, img, np.eye(4, dtype=np.float32))
         kf.bgr = bgr
@@ -328,6 +366,8 @@ class FullSystem:
         tid = self.timer.start_timing("make_keyframe")
         kf = Keyframe(frame_id, timestamp, img, c2w)
         kf.bgr = bgr
+        if self.opt.rgbd and getattr(self, "_current_depth", None) is not None:
+            kf.sensor_depth = np.asarray(self._current_depth, np.float32)
         self.keyframes.append(kf)
         self._assign_slot(kf)
 
@@ -340,6 +380,17 @@ class FullSystem:
                                        jnp.asarray(c2w), img, self.K)
             self._insert_points(prev, np.asarray(prev.immature.uv),
                                 np.asarray(idep), np.asarray(ok))
+
+        # RGB-D: seed points in the new KF directly from sensor depth
+        # (makeNewTraces gt seeding: idepth_max=idepth_min=1/gtDepth)
+        if kf.sensor_depth is not None:
+            pyr0 = build_pyramid(img, 1)
+            m0 = select_pixels(
+                pyr0[0]["abs_grad2"],
+                threshold_factor=self.opt.selection_threshold_factor)
+            uv0 = self._mask_to_uv(np.asarray(m0), self.opt.immature_cap)
+            d0 = kf.sensor_depth[uv0[:, 1].astype(int), uv0[:, 0].astype(int)]
+            self._insert_points(kf, uv0, 1.0 / np.maximum(d0, 0.05), d0 > 0.05)
 
         # MVS depth seeding (TANDEM mode): dense depth for the new KF
         mvs = self.backend.get_tracking_depth_map() if self.backend else None
@@ -438,7 +489,17 @@ class FullSystem:
                 weight0[v[inb], u[inb]] = 1.0
 
         dense_id = dense_w = None
-        if mvs is not None and mvs.get("valid"):
+        if kf.sensor_depth is not None:
+            valid = kf.sensor_depth > 0.05
+            on_grid = np.zeros_like(valid)
+            st = self.opt.tracking_step
+            on_grid[::st, ::st] = True
+            use = valid & on_grid
+            dense_id = jnp.asarray(np.where(
+                use, 1.0 / np.maximum(kf.sensor_depth, 0.05), 0.0
+            ).astype(np.float32))
+            dense_w = jnp.asarray(use.astype(np.float32))
+        elif mvs is not None and mvs.get("valid"):
             dense_id, dense_w = splat_depth_to_ref(
                 jnp.asarray(mvs["depth"]),
                 jnp.asarray(mvs["c2w"].astype(np.float32)),

@@ -252,6 +252,21 @@ def ba_iterate(state: BAState, images, K, iters: int = 4,
 
 
 @jax.jit
+def remove_outliers(state: BAState, images, K,
+                    energy_threshold: float = 12.0 ** 2):
+    """Deactivate points whose mean per-pixel residual energy across their
+    active observations exceeds the threshold (FullSystem removeOutliers /
+    flagPointsForRemoval semantics)."""
+    r, Jf, Ji, w, active = _system_terms(state, images, K)
+    ok = (w > 0).astype(jnp.float32)
+    e = jnp.sum(r * r * ok, axis=(1, 2)) / jnp.maximum(
+        jnp.sum(ok, axis=(1, 2)), 1.0)
+    n_obs = jnp.sum(jnp.any(w > 0, axis=2), axis=1)
+    bad = (e > energy_threshold) | (n_obs < 1)
+    return state._replace(pt_valid=state.pt_valid & ~bad)
+
+
+@jax.jit
 def marginalize_frame(state: BAState, images, K, frame_idx):
     """Fold one frame's parameters into the prior (Hm, bm) and deactivate it.
 
