@@ -1,0 +1,86 @@
+"""End-to-end runtime benchmark: full TANDEM pipeline FPS on one TPU chip.
+
+Runs the complete per-frame loop (dense coarse tracking, KF policy, windowed
+BA, CVA-MVSNet inference, TSDF allocate+integrate, splat render, dense
+injection) over a synthetic 640x480 sequence and reports FPS — the analogue
+of the reference's runtime_euroc measurement (~21 FPS on a desktop GPU,
+BASELINE.md).
+
+Not the driver benchmark (see bench.py); run manually:
+  python bench_runtime.py [n_frames]
+"""
+
+import sys
+import time
+
+import numpy as np
+
+
+def make_frames(n, H, W):
+    """Textured plane sequence at full resolution."""
+    u, v = np.meshgrid(np.arange(W, dtype=np.float64),
+                       np.arange(H, dtype=np.float64))
+    fx = 0.6 * W
+    cx, cy = (W - 1) / 2, (H - 1) / 2
+    frames = []
+    for i in range(n):
+        tx = 0.015 * i
+        x = (u - cx) / fx * 2.0 + tx
+        y = (v - cy) / fx * 2.0
+        img = (120 + 50 * np.sin(2.1 * x) * np.cos(1.7 * y)
+               + 30 * np.sin(5.3 * x + 1) + 25 * np.cos(4.3 * y))
+        frames.append(img.astype(np.float32))
+    return frames, fx, cx, cy
+
+
+def main(n_frames=60):
+    import jax.numpy as jnp
+
+    from tandem_tpu.mapping.tsdf import TsdfConfig
+    from tandem_tpu.models.cva_mvsnet import CvaMVSNet
+    from tandem_tpu.pipeline.backend import TandemBackend
+    from tandem_tpu.pipeline.full_system import FullSystem, FullSystemOptions
+    from tandem_tpu.pipeline.mvsnet_runner import MvsnetRunner, init_variables
+    from tandem_tpu.utils.timer import Timer
+
+    H, W = 480, 640
+    frames, fx, cx, cy = make_frames(n_frames, H, W)
+    K_mat = np.array([[fx, 0, cx], [0, fx, cy], [0, 0, 1]], np.float32)
+
+    model = CvaMVSNet(view_aggregation=True, dtype=jnp.bfloat16)
+    variables = init_variables(model, H, W, 7)
+    runner = MvsnetRunner(model, variables, H, W, view_num=7)
+    timer = Timer()
+    backend = TandemBackend(runner, TsdfConfig(), K_mat, H, W,
+                            mesh_extraction_freq=0, timer=timer)
+    opts = FullSystemOptions(selection_threshold_factor=0.35,
+                             kf_flow_threshold=0.35, init_max_width=0.4,
+                             dense_tracking=False)  # random-weight MVS depth
+    fs = FullSystem(fx, fx, cx, cy, H, W, options=opts, backend=backend,
+                    timer=timer)
+
+    # Warmup (first frames trigger all compiles)
+    for i in range(12):
+        bgr = np.stack([frames[i]] * 3, -1).astype(np.uint8)
+        fs.add_active_frame(frames[i], i, i / 30.0, bgr=bgr)
+
+    t0 = time.perf_counter()
+    n_meas = 0
+    for i in range(12, n_frames):
+        bgr = np.stack([frames[i]] * 3, -1).astype(np.uint8)
+        fs.add_active_frame(frames[i], i, i / 30.0, bgr=bgr)
+        n_meas += 1
+    dt = time.perf_counter() - t0
+    fps = n_meas / dt
+
+    print(f"frames={n_meas} keyframes={len(fs.keyframes)} "
+          f"backend_calls={backend.call_num}")
+    for name in sorted(timer.intervals):
+        print(f"  {name}: mean {timer.mean_ms(name):.1f} ms "
+              f"x{len(timer.intervals[name])}")
+    print(f"END-TO-END: {fps:.2f} FPS ({1000 / fps:.1f} ms/frame) "
+          f"vs baseline ~21 FPS")
+
+
+if __name__ == "__main__":
+    main(int(sys.argv[1]) if len(sys.argv) > 1 else 60)

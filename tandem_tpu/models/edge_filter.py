@@ -9,7 +9,20 @@ quantile of the edge image).
 
 from __future__ import annotations
 
+import jax
 import jax.numpy as jnp
+
+
+def _kth_edge_xla(depth, window: int):
+    B, H, W = depth.shape
+    w2 = window // 2
+    num = window * (w2 + 1)
+    padded = jnp.pad(depth, ((0, 0), (w2, w2), (w2, w2)))
+    shifts = [padded[:, dy:dy + H, dx:dx + W]
+              for dy in range(window) for dx in range(window)]
+    dw = jnp.stack(shifts, axis=-1)
+    edge = jnp.abs(dw - depth[..., None])
+    return jnp.sort(edge, axis=-1)[..., num - 1]
 
 
 def depth_filter_edges(depth, discard_percentage, window: int = 5):
@@ -18,18 +31,16 @@ def depth_filter_edges(depth, discard_percentage, window: int = 5):
     :return: filtered depth (B, H, W), mask (B, H, W) bool (True = discarded)
     """
     B, H, W = depth.shape
-    w = window
-    w2 = w // 2
-    num = w * (w2 + 1)  # k-th value (1-indexed in torch.kthvalue)
 
-    padded = jnp.pad(depth, ((0, 0), (w2, w2), (w2, w2)))
-    # (B, H, W, w*w) window stack — unrolled shifts; XLA fuses these slices.
-    shifts = [padded[:, dy:dy + H, dx:dx + W]
-              for dy in range(w) for dx in range(w)]
-    dw = jnp.stack(shifts, axis=-1)  # (B, H, W, 25)
-
-    edge = jnp.abs(dw - depth[..., None])  # (B, H, W, 25)
-    edge = jnp.sort(edge, axis=-1)[..., num - 1]  # k-th smallest -> (B, H, W)
+    use_pallas = (window == 5 and jax.default_backend() == "tpu"
+                  and H % 32 == 0)
+    if use_pallas:
+        from ..ops.pallas_kernels import edge_kth_value_pallas
+        block = max(d for d in (64, 48, 32) if H % d == 0)
+        edge = jax.vmap(lambda d: edge_kth_value_pallas(
+            d, block_rows=block))(depth)
+    else:
+        edge = _kth_edge_xla(depth, window)
 
     edge_flat = edge.reshape(B, H * W)
     edge_sorted = jnp.sort(edge_flat, axis=1)

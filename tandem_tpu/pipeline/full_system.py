@@ -54,6 +54,7 @@ class FullSystemOptions:
     mvs_view_num: int = 7
     tracking_step: int = 3            # setting_tracking_step dense stride
     rgbd: bool = False                # RGB-D mode (rgbd_flag)
+    dense_tracking: bool = True       # tracking=dense vs sparse
 
 
 class Keyframe:
@@ -499,7 +500,8 @@ class FullSystem:
                 use, 1.0 / np.maximum(kf.sensor_depth, 0.05), 0.0
             ).astype(np.float32))
             dense_w = jnp.asarray(use.astype(np.float32))
-        elif mvs is not None and mvs.get("valid"):
+        elif (self.opt.dense_tracking and mvs is not None
+              and mvs.get("valid")):
             dense_id, dense_w = splat_depth_to_ref(
                 jnp.asarray(mvs["depth"]),
                 jnp.asarray(mvs["c2w"].astype(np.float32)),
