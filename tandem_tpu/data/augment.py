@@ -83,7 +83,9 @@ def motion_blur(key, img, kernel_size=11, angle_deg=70.0, direction=0.5):
     return out[0].transpose(1, 2, 0)
 
 
-@partial(jax.jit, static_argnames=("same_on_views", "any_aug"))
+@partial(jax.jit, static_argnames=("same_on_views", "any_aug",
+                                   "color_jitter_params",
+                                   "motion_blur_params"))
 def augment_batch(key, batch: Dict, same_on_views: bool = False,
                   any_aug: bool = True,
                   color_jitter_params: Tuple = (0.05, 0.05, 0.05, 0.05),

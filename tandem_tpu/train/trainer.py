@@ -111,11 +111,19 @@ def create_train_state(config: Dict[str, Any], rng_key, total_steps: int,
         opt_state=tx.init(params), tx=tx)
 
 
+def _stage_K(batch, stage):
+    """Per-stage shared intrinsics: datasets stack one K per view
+    (B, V, 3, 3) but all views share the camera (datasets.py cam_stack);
+    the model takes the shared (B, 3, 3)."""
+    K = batch["intrinsics"][stage]["K"]
+    return K[:, 0] if K.ndim == 4 else K
+
+
 def _loss_fn(params, batch_stats, model, batch, loss_cfg):
     outputs, mutated = model.apply(
         {"params": params, "batch_stats": batch_stats},
         batch["image"],
-        tuple(batch["intrinsics"][s]["K"] for s in ("stage1", "stage2", "stage3")),
+        tuple(_stage_K(batch, s) for s in ("stage1", "stage2", "stage3")),
         batch["cam_to_world"], batch["depth_min"], batch["depth_max"],
         train=True, mutable=["batch_stats"])
     out = outputs_to_dict(outputs)
@@ -188,8 +196,7 @@ def make_eval_step(model: CvaMVSNet) -> Callable:
     def step(variables, batch):
         outputs = model.apply(
             variables, batch["image"],
-            tuple(batch["intrinsics"][s]["K"]
-                  for s in ("stage1", "stage2", "stage3")),
+            tuple(_stage_K(batch, s) for s in ("stage1", "stage2", "stage3")),
             batch["cam_to_world"], batch["depth_min"], batch["depth_max"],
             train=False)
         out = outputs_to_dict(outputs)
