@@ -27,8 +27,11 @@ def make_frames(n, H, W):
         tx = 0.015 * i
         x = (u - cx) / fx * 2.0 + tx
         y = (v - cy) / fx * 2.0
-        img = (120 + 50 * np.sin(2.1 * x) * np.cos(1.7 * y)
-               + 30 * np.sin(5.3 * x + 1) + 25 * np.cos(4.3 * y))
+        # High-frequency texture: per-pixel gradients comparable to real
+        # imagery (the gradient-histogram selector needs > ~7/px edges).
+        img = (120 + 45 * np.sin(17 * x) * np.cos(13 * y)
+               + 30 * np.sin(41 * x + 1) + 25 * np.cos(33 * y)
+               + 15 * np.sin(77 * x * y))
         frames.append(img.astype(np.float32))
     return frames, fx, cx, cy
 

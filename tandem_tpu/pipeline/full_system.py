@@ -126,8 +126,9 @@ class FullSystem:
 
         tid = self.timer.start_timing("track_frame")
         T_init = self._motion_model()
-        out = track_frame(self.tracker_ref, img, jnp.asarray(T_init),
-                          jnp.array([1.0, 0.0]))
+        out = jax.device_get(track_frame(
+            self.tracker_ref, img, jnp.asarray(T_init),
+            jnp.array([1.0, 0.0])))  # one bundled device->host transfer
         energy = float(out["energy"])
 
         # Multi-hypothesis re-tracking when the motion model fails
@@ -142,8 +143,8 @@ class FullSystem:
             perts = rotation_perturbations()
             T_cands = jnp.asarray(
                 np.einsum("nij,jk->nik", perts, T_init).astype(np.float32))
-            out = track_frame_multi(self.tracker_ref, img, T_cands,
-                                    jnp.array([1.0, 0.0]))
+            out = jax.device_get(track_frame_multi(
+                self.tracker_ref, img, T_cands, jnp.array([1.0, 0.0])))
             energy = float(out["energy"])
         self.timer.end_timing("track_frame", tid)
 

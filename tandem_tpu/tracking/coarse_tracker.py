@@ -117,10 +117,13 @@ def splat_depth_to_ref(render_depth, render_c2w, ref_c2w, K, H: int, W: int,
     return idepth, weight
 
 
+@partial(jax.jit, static_argnums=(1, 2, 3, 4))
 def make_tracker_ref(ref_image, fx, fy, cx, cy, sparse_idepth=None,
                      sparse_weight=None, dense_idepth=None,
                      dense_weight=None) -> CoarseTrackerRef:
     """Build the per-level reference state from level-0 idepth/weight maps.
+    One jitted call — pyramids, downsampling, and dilation run as a single
+    device program (this runs at keyframe rate and during initialization).
 
     :param ref_image: (H, W) float intensity
     :param sparse_idepth/weight: (H, W) maps from projected active points
