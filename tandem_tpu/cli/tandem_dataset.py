@@ -25,6 +25,7 @@ import numpy as np
 def parse_args(argv):
     """key=value argument chain (commandline.cpp:149-410 style)."""
     args = {"preset": "dataset", "files": None, "calib": None,
+            "gamma": None, "vignette": None, "preload": 0,
             "result_folder": "results", "mvsnet_folder": None,
             "start": 0, "end": -1, "mesh_extraction_freq": 10,
             "mvsnet_discard_percentage": 10.0, "dr_timing": 0}
@@ -32,7 +33,8 @@ def parse_args(argv):
         if "=" not in a:
             continue
         k, v = a.split("=", 1)
-        if k in ("start", "end", "mesh_extraction_freq", "dr_timing"):
+        if k in ("start", "end", "mesh_extraction_freq", "dr_timing",
+                 "preload"):
             v = int(v)
         elif k in ("mvsnet_discard_percentage",):
             v = float(v)
@@ -41,15 +43,24 @@ def parse_args(argv):
 
 
 def read_calib(path):
-    """DSO camera.txt: 'fx fy cx cy 0' + 'w h' (Pinhole only here; other
-    geometric models live in data/undistort.py)."""
-    lines = [ln.strip() for ln in open(path) if ln.strip()]
+    """DSO camera.txt. For a plain pinhole file returns its intrinsics; for
+    a distortion-model calib (FOV/RadTan/Equidistant/KB + rectification),
+    returns the RECTIFIED pinhole intrinsics and output size — per-frame
+    undistortion then happens in the reader (Undistort semantics)."""
+    lines = [ln.strip() for ln in open(path)
+             if ln.strip() and not ln.startswith("#")]
     parts = lines[0].split()
-    if parts[0].lower() == "pinhole":
-        parts = parts[1:]
-    fx, fy, cx, cy = [float(x) for x in parts[:4]]
-    w, h = [int(x) for x in lines[1].split()[:2]]
-    return fx, fy, cx, cy, w, h
+    model = parts[0].lower()
+    simple_pinhole = (model == "pinhole"
+                      and (len(lines) < 3 or lines[2].split()[0] == "none"))
+    if simple_pinhole:
+        fx, fy, cx, cy = [float(x) for x in parts[1:5]]
+        w, h = [int(x) for x in lines[1].split()[:2]]
+        return fx, fy, cx, cy, w, h
+    from ..data.undistort import Undistort
+    und = Undistort.from_file(path)
+    return (float(und.K[0, 0]), float(und.K[1, 1]), float(und.K[0, 2]),
+            float(und.K[1, 2]), und.w, und.h)
 
 
 def main(argv=None):
@@ -95,16 +106,29 @@ def main(argv=None):
 
     fs = FullSystem(fx, fy, cx, cy, H, W, backend=backend, timer=timer)
 
-    files = sorted(os.listdir(args["files"]))
-    files = [f for f in files if f.lower().endswith((".png", ".jpg", ".jpeg"))]
-    end = len(files) if args["end"] < 0 else min(args["end"], len(files))
-    files = files[args["start"]:end]
+    # ImageFolderReader handles undistortion (geometric + photometric) and
+    # times.txt timestamps (DatasetReader semantics).
+    from ..data.reader import ImageFolderReader
+    needs_undistort = False
+    with open(args["calib"]) as f:
+        clines = [ln.strip() for ln in f if ln.strip()]
+    if len(clines) >= 3 and clines[2].split()[0] != "none":
+        needs_undistort = True
+    if clines[0].split()[0].lower() not in ("pinhole",):
+        needs_undistort = True
+    reader = ImageFolderReader(
+        args["files"], calib=args["calib"] if needs_undistort else None,
+        gamma=args["gamma"], vignette=args["vignette"],
+        preload=bool(args["preload"]))
+
+    end = len(reader) if args["end"] < 0 else min(args["end"], len(reader))
+    indices = list(range(args["start"], end))
 
     t_start = time.time()
-    for i, fname in enumerate(files):
-        bgr = cv2.imread(os.path.join(args["files"], fname))
-        gray = cv2.cvtColor(bgr, cv2.COLOR_BGR2GRAY).astype(np.float32)
-        fs.add_active_frame(gray, i, float(i) / 30.0, bgr=bgr)
+    for i in indices:
+        gray, ts, _ = reader.get_image(i)
+        bgr = reader.get_image_bgr(i)
+        fs.add_active_frame(gray, i, ts, bgr=bgr)
         # Auto-reset within the first 250 frames on init failure / early loss
         # (main_tandem_pangolin.cpp:237-255).
         if (fs.init_failed or fs.is_lost) and i < 250:
