@@ -219,12 +219,18 @@ class MVSScene:
 
 
 class MVSDataset:
-    """Concatenation of scenes listed in <root>/<split>.txt
-    (datasets.py:524-570)."""
+    """Concatenation of the scenes listed in <root>/<split>.txt
+    (datasets.py:524-570). Format parity: the split file holds ONE line of
+    space-separated scene names and scenes live directly under the root
+    (read_scene_names, datasets.py:568-570); one-name-per-line files are
+    also accepted."""
 
     def __init__(self, root_dir: str, split: str, **scene_kwargs):
-        scene_names = _readlines(join(root_dir, f"{split}.txt"))
-        self.scenes = [MVSScene(join(root_dir, split, name), **scene_kwargs)
+        lines = _readlines(join(root_dir, split if split.endswith(".txt")
+                                else f"{split}.txt"))
+        scene_names = [name for line in lines for name in line.split(" ")
+                       if name]
+        self.scenes = [MVSScene(join(root_dir, name), **scene_kwargs)
                        for name in scene_names]
         self.start = np.cumsum([0] + [len(s) for s in self.scenes])
 

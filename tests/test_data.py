@@ -79,11 +79,11 @@ def test_masks_and_stage_depths(tmp_path):
 
 def test_dataset_and_batches(tmp_path):
     root = tmp_path / "root"
-    os.makedirs(root / "val", exist_ok=True)
-    write_scene(str(root / "val" / "office0"))
-    write_scene(str(root / "val" / "office1"))
+    os.makedirs(root, exist_ok=True)
+    write_scene(str(root / "office0"))
+    write_scene(str(root / "office1"))
     with open(root / "val.txt", "w") as f:
-        f.write("office0\noffice1\n")
+        f.write("office0 office1\n")  # reference format: one line
     ds = MVSDataset(str(root), "val")
     assert len(ds) == 6
     batches = list(make_batches(ds, batch_size=2, shuffle=True))

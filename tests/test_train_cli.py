@@ -12,8 +12,8 @@ from tests.test_data import write_scene
 
 def test_train_cli_one_epoch(tmp_path):
     root = tmp_path / "replica"
-    os.makedirs(root / "train", exist_ok=True)
-    write_scene(str(root / "train" / "office0"), n_frames=10, H=64, W=64)
+    os.makedirs(root, exist_ok=True)
+    write_scene(str(root / "office0"), n_frames=10, H=64, W=64)
     (root / "train.txt").write_text("office0\n")
 
     out_dir = tmp_path / "run"
