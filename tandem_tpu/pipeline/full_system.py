@@ -30,7 +30,8 @@ import numpy as np
 from ..core.pyramid import build_pyramid
 from ..core.se3 import se3_exp, se3_inverse
 from ..tracking.ba import (BAState, PATTERN, _bilinear, ba_iterate,
-                           create_ba_state, marginalize_frame)
+                           create_ba_state, marginalize_frame,
+                           remove_outliers)
 from ..tracking.coarse_tracker import (make_tracker_ref, splat_depth_to_ref,
                                        track_frame)
 from ..tracking.immature import (ImmaturePoints, activate_points,
@@ -397,10 +398,13 @@ class FullSystem:
         # MVS depth seeding (TANDEM mode): dense depth for the new KF
         mvs = self.backend.get_tracking_depth_map() if self.backend else None
 
-        # Windowed BA
+        # Windowed BA + outlier removal (optimize -> removeOutliers,
+        # FullSystem.cpp:1344,1373)
         self.ba_state, energy = ba_iterate(
             self.ba_state, jnp.asarray(self.slot_images), self.K,
             iters=self.opt.ba_iters)
+        self.ba_state = remove_outliers(
+            self.ba_state, jnp.asarray(self.slot_images), self.K)
         # Write back refined poses
         poses = np.asarray(self.ba_state.poses)
         for slot, k in enumerate(self.kf_of_slot):
