@@ -126,41 +126,139 @@ def _residual_one(dx_h, dx_t, id_n, pose_h, pose_t, aff_h, aff_t, uv, colors,
     return jnp.where(ok, r, 0.0), ok
 
 
+def _image_gradients(images):
+    """Central-difference gradients of (F, H, W) images."""
+    gx = jnp.zeros_like(images)
+    gy = jnp.zeros_like(images)
+    gx = gx.at[:, :, 1:-1].set(0.5 * (images[:, :, 2:] - images[:, :, :-2]))
+    gy = gy.at[:, 1:-1, :].set(0.5 * (images[:, 2:, :] - images[:, :-2, :]))
+    return gx, gy
+
+
+def _flat_trilerp(stacked, px, py, f_idx, H, W):
+    """Bilinear-sample (F, H, W, C) ``stacked`` at (px, py) in frame f_idx
+    for ALL samples with ONE un-batched wide-row gather (frame folded into
+    the row index — batched/tiny gathers are the TPU killer)."""
+    C = stacked.shape[-1]
+    flat = stacked.reshape(-1, C)          # (F*H*W, C)
+    x0 = jnp.floor(px)
+    y0 = jnp.floor(py)
+    wx = px - x0
+    wy = py - y0
+    xi = jnp.clip(x0.astype(jnp.int32), 0, W - 2)
+    yi = jnp.clip(y0.astype(jnp.int32), 0, H - 2)
+    base = f_idx * (H * W) + yi * W + xi
+    sh = base.shape
+    b = base.reshape(-1)
+    v00 = flat[b]
+    v01 = flat[b + 1]
+    v10 = flat[b + W]
+    v11 = flat[b + W + 1]
+    wxf = wx.reshape(-1)[:, None]
+    wyf = wy.reshape(-1)[:, None]
+    out = (v00 * (1 - wxf) * (1 - wyf) + v01 * wxf * (1 - wyf)
+           + v10 * (1 - wxf) * wyf + v11 * wxf * wyf)
+    return out.reshape(sh + (C,))
+
+
 def _system_terms(state: BAState, images, K):
-    """Residuals + Jacobians for all (point, target) pairs.
+    """Residuals + analytic Jacobians for all (point, target) pairs.
+
+    DSO-style hand-derived Jacobians (the reference's linearize residual,
+    Residuals.cpp) instead of autodiff: intensity+gradient sampling for all
+    (N, F, 8) pattern pixels is ONE fused wide-row gather, and the pose/
+    affine/idepth Jacobians are closed-form — an order of magnitude cheaper
+    than jacfwd-per-pair on TPU.
 
     :param images: (F, H, W) level-0 intensities
-    :return: r (N, F, 8), J_frames (N, F, 8, 16) wrt [host(8), target(8)],
-        J_id (N, F, 8), weight (N, F, 8), active (N, F)
+    :return: r (N, F, 8), J_frames (N, F, 8, 16) wrt [host(8), target(8)]
+        with per-slot layout [xi(6), a, b], J_id (N, F, 8), w (N, F, 8),
+        active (N, F)
     """
-    F = state.poses.shape[0]
+    fx, fy, cx, cy = K
+    F, H, W = images.shape
     N = state.pt_frame.shape[0]
 
     pose_h = state.poses[state.pt_frame]          # (N, 4, 4)
     aff_h = state.aff[state.pt_frame]             # (N, 2)
 
-    def per_pair(pose_h_n, aff_h_n, uv_n, col_n, id_n, pose_t, aff_t, img_t):
-        zero8 = jnp.zeros(8)
+    # Relative transforms T_th = w2c_t @ c2w_h for all (N, F)
+    w2c_t = se3_inverse(state.poses)              # (F, 4, 4)
+    T = jnp.einsum("fij,njk->nfik", w2c_t, pose_h)  # (N, F, 4, 4)
+    R = T[..., :3, :3]
+    t = T[..., :3, 3]
 
-        def f(dh, dt, di):
-            r, ok = _residual_one(dh, dt, id_n + di, pose_h_n, pose_t,
-                                  aff_h_n, aff_t, uv_n, col_n, img_t, K)
-            return r
+    # Pattern rays in the host frame (N, 8, 3)
+    u = state.pt_uv[:, 0:1] + PATTERN[None, :, 0]
+    v = state.pt_uv[:, 1:2] + PATTERN[None, :, 1]
+    ray = jnp.stack([(u - cx) / fx, (v - cy) / fy, jnp.ones_like(u)], -1)
 
-        r, ok = _residual_one(zero8, zero8, id_n, pose_h_n, pose_t, aff_h_n,
-                              aff_t, uv_n, col_n, img_t, K)
-        Jh, Jt, Ji = jax.jacfwd(f, argnums=(0, 1, 2))(zero8, zero8, 0.0)
-        return r, ok, jnp.concatenate([Jh, Jt], -1), Ji
+    idn = state.pt_idepth[:, None, None]          # (N, 1, 1)
+    q = (jnp.einsum("nfij,npj->nfpi", R, ray)
+         + t[:, :, None, :] * idn[..., None])     # (N, F, 8, 3)
+    qz = q[..., 2]
+    qz_safe = jnp.where(qz > 1e-6, qz, 1.0)
+    px = fx * q[..., 0] / qz_safe + cx
+    py = fy * q[..., 1] / qz_safe + cy
+    ok = (qz > 1e-6) & (px > 2) & (px < W - 3) & (py > 2) & (py < H - 3)
 
-    # vmap over targets then over points.
-    over_targets = jax.vmap(per_pair, in_axes=(None, None, None, None, None,
-                                               0, 0, 0))
-    over_points = jax.vmap(over_targets, in_axes=(0, 0, 0, 0, 0, None, None,
-                                                  None))
-    r, ok, Jf, Ji = over_points(pose_h, aff_h, state.pt_uv, state.pt_color,
-                                state.pt_idepth, state.poses, state.aff,
-                                images)
-    # r (N, F, 8), Jf (N, F, 8, 16), Ji (N, F, 8)
+    # One gather for intensity + gradients of all samples
+    gx_im, gy_im = _image_gradients(images)
+    stacked = jnp.stack([images, gx_im, gy_im], -1)  # (F, H, W, 3)
+    f_idx = jnp.broadcast_to(jnp.arange(F, dtype=jnp.int32)[None, :, None],
+                             px.shape)
+    samp = _flat_trilerp(stacked, px, py, f_idx, H, W)
+    hit, gx, gy = samp[..., 0], samp[..., 1], samp[..., 2]
+
+    # Residual with the relative exposure-affine model
+    a_t = state.aff[None, :, 0:1]                 # (1, F, 1)
+    b_t = state.aff[None, :, 1:2]
+    a_h = aff_h[:, None, 0:1]                     # (N, 1, 1)
+    b_h = aff_h[:, None, 1:2]
+    gain = jnp.exp(a_t - a_h)
+    colors = state.pt_color[:, None, :]           # (N, 1, 8)
+    r = hit - gain * colors - (b_t - gain * b_h)
+    r = jnp.where(ok, r, 0.0)
+
+    # --- analytic Jacobians -------------------------------------------
+    # d pixel / d q
+    inv_z = 1.0 / qz_safe
+    du_dq = jnp.stack([fx * inv_z, jnp.zeros_like(inv_z),
+                       -fx * q[..., 0] * inv_z * inv_z], -1)  # (N, F, 8, 3)
+    dv_dq = jnp.stack([jnp.zeros_like(inv_z), fy * inv_z,
+                       -fy * q[..., 1] * inv_z * inv_z], -1)
+    g_dq = gx[..., None] * du_dq + gy[..., None] * dv_dq      # dr/dq
+
+    def hat(p):
+        z = jnp.zeros_like(p[..., 0])
+        return jnp.stack([
+            jnp.stack([z, -p[..., 2], p[..., 1]], -1),
+            jnp.stack([p[..., 2], z, -p[..., 0]], -1),
+            jnp.stack([-p[..., 1], p[..., 0], z], -1)], -2)
+
+    # Increment convention matches ba_iterate's update c2w <- c2w exp(-dx)
+    # (equivalently w2c <- exp(dx) w2c).
+    # Target frame: dq/dv = id I, dq/dw = -hat(q).
+    Jt_v = idn[..., None] * g_dq                               # (N, F, 8, 3)
+    Jt_w = -jnp.einsum("nfpi,nfpij->nfpj", g_dq, hat(q))
+    # Host frame: dq/dv = -id R, dq/dw = R hat(ray).
+    g_R = jnp.einsum("nfpi,nfij->nfpj", g_dq, R)               # g^T R
+    Jh_v = -idn[..., None] * g_R
+    hat_ray = hat(ray)                                         # (N, 8, 3, 3)
+    Jh_w = jnp.einsum("nfpi,npij->nfpj", g_R, hat_ray)
+    # Affine: dr/da_t = -gain (c - b_h), dr/db_t = -1;
+    #         dr/da_h = +gain (c - b_h), dr/db_h = +gain
+    dgain = gain * (colors - b_h)                              # (N, F, 8)
+    Jt_a = -dgain
+    Jt_b = -jnp.ones_like(r)
+    Jh_a = dgain
+    Jh_b = gain * jnp.ones_like(r)
+    # idepth: dq/did = t
+    Ji = jnp.einsum("nfpi,nfi->nfp", g_dq, t)
+
+    Jf = jnp.concatenate([
+        Jh_v, Jh_w, Jh_a[..., None], Jh_b[..., None],
+        Jt_v, Jt_w, Jt_a[..., None], Jt_b[..., None]], -1)     # (N, F, 8, 16)
 
     tgt = jnp.arange(F)
     active = (state.pt_valid[:, None] & state.frame_valid[None, :]
