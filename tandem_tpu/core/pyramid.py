@@ -15,8 +15,11 @@ import jax.numpy as jnp
 
 
 def downsample_2x2(img: jnp.ndarray) -> jnp.ndarray:
+    """2x2 average; odd trailing row/col dropped (DSO's w >> l sizing)."""
     H, W = img.shape
-    return img.reshape(H // 2, 2, W // 2, 2).mean(axis=(1, 3))
+    H2, W2 = H // 2, W // 2
+    img = img[:H2 * 2, :W2 * 2]
+    return img.reshape(H2, 2, W2, 2).mean(axis=(1, 3))
 
 
 def gradients(img: jnp.ndarray) -> Tuple[jnp.ndarray, jnp.ndarray]:

@@ -158,12 +158,14 @@ class FullSystem:
         c2w = self.ref_kf.c2w @ np.asarray(se3_inverse(jnp.asarray(T)))
         self._record_pose(frame_id, timestamp, c2w)
 
+        # Epipolar tracing of all window KFs' immature points runs on EVERY
+        # frame (traceNewCoarse before the KF decision, FullSystem.cpp:1295).
+        self._trace_on_frame(img, c2w)
+
         flow = np.asarray(out["flow"])
         need_kf = self._keyframe_decision(flow, out)
         if need_kf:
             self._make_keyframe(img, frame_id, timestamp, c2w, bgr)
-        else:
-            self._trace_on_frame(img, c2w)
 
     # ------------------------------------------------------------------
     def _first_frame_rgbd(self, img, frame_id, timestamp, bgr, depth):
@@ -374,15 +376,23 @@ class FullSystem:
         self.keyframes.append(kf)
         self._assign_slot(kf)
 
-        # Activate matured immature points of the previous reference KF
-        prev = self.ref_kf
-        if not from_init and prev is not None and prev.immature is not None \
-                and prev.slot is not None:
-            idep, ok = activate_points(prev.immature,
-                                       jnp.asarray(prev.c2w),
-                                       jnp.asarray(c2w), img, self.K)
-            self._insert_points(prev, np.asarray(prev.immature.uv),
-                                np.asarray(idep), np.asarray(ok))
+        # Activate matured immature points from ALL window keyframes
+        # (activatePointsMT over the active window, FullSystem.cpp:1335).
+        if not from_init:
+            for host_kf in self.kf_of_slot:
+                if (host_kf is None or host_kf is kf
+                        or host_kf.immature is None):
+                    continue
+                idep, ok = activate_points(host_kf.immature,
+                                           jnp.asarray(host_kf.c2w),
+                                           jnp.asarray(c2w), img, self.K)
+                okn = np.asarray(ok)
+                self._insert_points(host_kf, np.asarray(host_kf.immature.uv),
+                                    np.asarray(idep), okn)
+                # Activated candidates leave the immature set
+                if okn.any():
+                    host_kf.immature = host_kf.immature._replace(
+                        valid=host_kf.immature.valid & ~jnp.asarray(okn))
 
         # RGB-D: seed points in the new KF directly from sensor depth
         # (makeNewTraces gt seeding: idepth_max=idepth_min=1/gtDepth)

@@ -2,11 +2,12 @@
 
 Re-design of DSO's optimization backend (tandem/src/OptimizationBackend/
 EnergyFunctional.{h,cpp}, AccumulatedTopHessian/AccumulatedSCHessian,
-FullSystemOptimize.cpp:408-560): the hand-derived SSE 13x13 accumulators
-become autodiff Jacobians (jax.jacfwd of the 8-pattern photometric residual)
-assembled into the frame Hessian with one-hot einsums, and the per-point
-Schur complement is a vectorized rank-1 elimination (each point's inverse
-depth is scalar).
+FullSystemOptimize.cpp:408-560): analytic DSO-style Jacobians of the 8-pattern
+photometric residual for ALL (point, target) pairs at once — one fused
+wide-row gather samples intensity+gradients — assembled into the frame
+Hessian with one-hot einsums; the per-point Schur complement is a vectorized
+rank-1 elimination (each point's inverse depth is scalar). An autodiff
+reference residual (_residual_one) is kept for Jacobian validation tests.
 
 Structure (fixed shapes, all masked):
 - F frame slots: camera-to-world pose (4,4), affine (a, b) per frame.
@@ -332,6 +333,12 @@ def ba_iterate(state: BAState, images, K, iters: int = 4,
         d_id = -(b_p + H_fp @ dx) / H_pp_safe             # (N,)
         d_id = jnp.where(state.pt_valid, d_id, 0.0)
 
+        # Numerical safety: a degenerate window (e.g. zero active points)
+        # must not poison the state with NaNs.
+        finite = jnp.isfinite(dx).all() & jnp.isfinite(d_id).all()
+        dx = jnp.where(finite, dx, 0.0)
+        d_id = jnp.where(finite, d_id, 0.0)
+
         dxf = dx.reshape(F, 8)
         upd = state.frame_valid[:, None]
         new_poses = jnp.einsum(
@@ -369,38 +376,46 @@ def marginalize_frame(state: BAState, images, K, frame_idx):
     """Fold one frame's parameters into the prior (Hm, bm) and deactivate it.
 
     DSO parity target: EnergyFunctional::marginalizeFrame (Schur elimination
-    of the frame block, EnergyFunctional.cpp:80-). Points hosted in the
-    marginalized frame are dropped (the reference marginalizes good ones into
-    the prior first — FullSystem flagPointsForRemoval).
+    of the frame block, EnergyFunctional.cpp:80-). Only the residuals that
+    INVOLVE the dropped frame are folded — the surviving active residuals
+    stay live in future solves (folding the full Hessian would double-count
+    their energy on every marginalization and blow up the prior). Points
+    hosted in the marginalized frame are dropped after their information is
+    absorbed (the reference marginalizes good ones via flagPointsForRemoval).
     """
     F = state.poses.shape[0]
     P = F * 8
 
     r, Jf, Ji, w, active = _system_terms(state, images, K)
+    # Keep only residual pairs that involve the marginalized frame.
+    involved = ((state.pt_frame[:, None] == frame_idx)
+                | (jnp.arange(F)[None, :] == frame_idx))       # (N, F)
+    w = w * involved[..., None].astype(w.dtype)
     H_ff, b_f, H_pp, H_fp, b_p, _ = _assemble(state, r, Jf, Ji, w)
+
+    # Schur-eliminate the involved points' idepths from this sub-system
+    # (their host-frame block couples through H_fp).
+    H_pp_safe = H_pp + 1e-1
+    H_ff = H_ff - jnp.einsum("np,n,nq->pq", H_fp, 1.0 / H_pp_safe, H_fp)
+    b_f = b_f - jnp.einsum("np,n->p", H_fp, b_p / H_pp_safe)
+
     H = H_ff + state.Hm
     b = b_f + state.bm
 
     sl = frame_idx * 8
     idx = jnp.arange(P)
-    in_blk = (idx >= sl) & (idx < sl + 8)
+    keep = ~((idx >= sl) & (idx < sl + 8))
 
-    # Permute the marginalized block to the end implicitly via masking math:
-    # H = [[Haa, Hab], [Hba, Hbb]] with b-block = the frame; prior update
-    # Haa' = Haa - Hab Hbb^-1 Hba.
-    keep = ~in_blk
-    Hbb = jnp.where(in_blk[:, None] & in_blk[None, :], H, 0.0)
-    # Extract the dense 8x8 block via dynamic slice
-    Hbb8 = lax.dynamic_slice(H, (sl, sl), (8, 8)) + 1e-6 * jnp.eye(8)
-    Hab = jnp.where(keep[:, None] & in_blk[None, :], H, 0.0)
-    Hab8 = lax.dynamic_slice(Hab, (0, sl), (P, 8))       # (P, 8), rows b-blk 0
+    Hbb8 = lax.dynamic_slice(H, (sl, sl), (8, 8)) + 1e-4 * jnp.eye(8)
+    Hab = jnp.where(keep[:, None] & ~keep[None, :], H, 0.0)
+    Hab8 = lax.dynamic_slice(Hab, (0, sl), (P, 8))       # (P, 8)
     bb8 = lax.dynamic_slice(b, (sl,), (8,))
 
     Hbb_inv = inv_psd_small(Hbb8, 8)
     Hm_new = H - Hab8 @ Hbb_inv @ Hab8.T
     bm_new = b - Hab8 @ (Hbb_inv @ bb8)
-    # Zero out the marginalized row/col entirely.
     Hm_new = jnp.where(keep[:, None] & keep[None, :], Hm_new, 0.0)
+    Hm_new = 0.5 * (Hm_new + Hm_new.T)                   # keep symmetric
     bm_new = jnp.where(keep, bm_new, 0.0)
 
     drop_pts = state.pt_frame == frame_idx

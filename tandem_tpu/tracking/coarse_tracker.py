@@ -48,8 +48,11 @@ class CoarseTrackerRef(NamedTuple):
 
 def _downsample_idepth(idepth, weight):
     H, W = idepth.shape
-    i4 = (idepth * weight).reshape(H // 2, 2, W // 2, 2).sum((1, 3))
-    w4 = weight.reshape(H // 2, 2, W // 2, 2).sum((1, 3))
+    H2, W2 = H // 2, W // 2
+    idepth = idepth[:H2 * 2, :W2 * 2]
+    weight = weight[:H2 * 2, :W2 * 2]
+    i4 = (idepth * weight).reshape(H2, 2, W2, 2).sum((1, 3))
+    w4 = weight.reshape(H2, 2, W2, 2).sum((1, 3))
     return jnp.where(w4 > 0, i4 / jnp.maximum(w4, 1e-12), 0.0), w4
 
 
