@@ -55,7 +55,16 @@ def main(args):
     np.random.seed(config["TRAIN.SEED"])
 
     device_mode = config["TRAIN.DEVICE"]
-    if device_mode == "mesh":
+    if device_mode == "multihost":
+        # Multi-host data parallelism: jax.distributed discovers the
+        # coordinator from the environment (SLURM/TPU pod metadata) — the
+        # reference's slurm_ddp_setup + NCCL init equivalent
+        # (cva_mvsnet/utils.py:23-37); collectives ride ICI within a slice
+        # and DCN across slices.
+        jax.distributed.initialize()
+        mesh = make_mesh()
+        world = mesh.devices.size
+    elif device_mode == "mesh":
         mesh = make_mesh()
         world = mesh.devices.size
     else:

@@ -82,7 +82,7 @@ class TandemBackend:
 
         # --- finish previous call -------------------------------------
         if self._prev is not None:
-            res = self.runner.get_result()   # blocks (overlapped with VO)
+            res = self.runner.get_result(device=True)  # overlapped with VO
             ref_c2w = self._prev["ref_c2w"]
             ref_bgr = self._prev["ref_bgr"]
             depth = jnp.asarray(res["depth"])
@@ -101,8 +101,9 @@ class TandemBackend:
             rdepth = render_depth_splat(self.cfg, self.volume, Kj,
                                         jnp.asarray(next_ref_c2w),
                                         self.H, self.W)
-            self.depth_map.write(np.asarray(rdepth),
-                                 np.asarray(next_ref_c2w))
+            # Keep the rendered depth device-resident: its only consumer is
+            # the (jitted) splat into the next tracking reference.
+            self.depth_map.write(rdepth, np.asarray(next_ref_c2w))
 
             if self.mesh_freq > 0 and self.call_num % self.mesh_freq == 0:
                 self.last_mesh = extract_mesh(self.cfg, self.volume)

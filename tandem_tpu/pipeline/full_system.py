@@ -21,6 +21,7 @@ Simplifications vs DSO (documented for later parity work):
 from __future__ import annotations
 
 import dataclasses
+from functools import partial
 from typing import List, Optional
 
 import jax
@@ -85,7 +86,9 @@ class FullSystem:
 
         F = self.opt.max_keyframes + 1
         self.ba_state = create_ba_state(F, self.opt.num_point_slots)
-        self.slot_images = np.zeros((F, height, width), np.float32)
+        # Device-resident: re-uploading 8 full-res images per keyframe costs
+        # hundreds of ms through a slow host<->device link.
+        self.slot_images = jnp.zeros((F, height, width), jnp.float32)
         self.kf_of_slot: List[Optional[Keyframe]] = [None] * F
 
         self.keyframes: List[Keyframe] = []
@@ -325,7 +328,7 @@ class FullSystem:
         slot = int(free[0])
         kf.slot = slot
         self.kf_of_slot[slot] = kf
-        self.slot_images[slot] = np.asarray(kf.image)
+        self.slot_images = self.slot_images.at[slot].set(kf.image)
         self.ba_state = self.ba_state._replace(
             poses=self.ba_state.poses.at[slot].set(jnp.asarray(kf.c2w)),
             aff=self.ba_state.aff.at[slot].set(jnp.zeros(2)),
@@ -336,7 +339,7 @@ class FullSystem:
         active.sort(key=lambda k: k.frame_id)
         victim = active[0]
         self.ba_state = marginalize_frame(
-            self.ba_state, jnp.asarray(self.slot_images), self.K,
+            self.ba_state, self.slot_images, self.K,
             victim.slot)
         self.kf_of_slot[victim.slot] = None
         victim.slot = None
@@ -376,6 +379,7 @@ class FullSystem:
         self.keyframes.append(kf)
         self._assign_slot(kf)
 
+        t_act = self.timer.start_timing("kf_activate")
         # Activate matured immature points from ALL window keyframes
         # (activatePointsMT over the active window, FullSystem.cpp:1335).
         if not from_init:
@@ -394,6 +398,7 @@ class FullSystem:
                     host_kf.immature = host_kf.immature._replace(
                         valid=host_kf.immature.valid & ~jnp.asarray(okn))
 
+        self.timer.end_timing("kf_activate", t_act)
         # RGB-D: seed points in the new KF directly from sensor depth
         # (makeNewTraces gt seeding: idepth_max=idepth_min=1/gtDepth)
         if kf.sensor_depth is not None:
@@ -408,13 +413,16 @@ class FullSystem:
         # MVS depth seeding (TANDEM mode): dense depth for the new KF
         mvs = self.backend.get_tracking_depth_map() if self.backend else None
 
+        t_ba = self.timer.start_timing("kf_ba")
         # Windowed BA + outlier removal (optimize -> removeOutliers,
         # FullSystem.cpp:1344,1373)
         self.ba_state, energy = ba_iterate(
-            self.ba_state, jnp.asarray(self.slot_images), self.K,
+            self.ba_state, self.slot_images, self.K,
             iters=self.opt.ba_iters)
         self.ba_state = remove_outliers(
-            self.ba_state, jnp.asarray(self.slot_images), self.K)
+            self.ba_state, self.slot_images, self.K)
+        jax.block_until_ready(self.ba_state.poses)
+        self.timer.end_timing("kf_ba", t_ba)
         # Write back refined poses
         poses = np.asarray(self.ba_state.poses)
         for slot, k in enumerate(self.kf_of_slot):
@@ -423,6 +431,7 @@ class FullSystem:
         kf.c2w = poses[kf.slot]
         self.last_c2w = kf.c2w.copy()
 
+        t_sel = self.timer.start_timing("kf_select")
         # New immature points in this KF
         pyr = build_pyramid(img, 1)
         mask = select_pixels(pyr[0]["abs_grad2"],
@@ -431,6 +440,7 @@ class FullSystem:
         kf.immature = make_immature(jnp.asarray(uv), img, id_min=0.05,
                                     id_max=5.0)
 
+        self.timer.end_timing("kf_select", t_sel)
         # Record the optimization window (dso_optimization_windows format)
         win = sorted(k.frame_id for k in self.kf_of_slot if k is not None)
         self.windows.append(win)
@@ -442,8 +452,10 @@ class FullSystem:
         if self.backend is not None:
             self._deliver_dr_frame(kf)
 
+        t_ref = self.timer.start_timing("kf_set_ref")
         # Refresh the coarse-tracking reference (sparse BA points + dense)
         self._set_tracking_ref(kf, mvs)
+        self.timer.end_timing("kf_set_ref", t_ref)
         self.ref_kf = kf
         self.timer.end_timing("make_keyframe", tid)
 
@@ -476,33 +488,11 @@ class FullSystem:
     def _set_tracking_ref(self, kf: Keyframe, mvs: Optional[dict]):
         """setCoarseTrackingRef with TSDF-rendered dense injection
         (FullSystem.cpp:1373-1387, CoarseTracker.cpp:633-733)."""
-        idepth0 = np.zeros((self.H, self.W), np.float32)
-        weight0 = np.zeros((self.H, self.W), np.float32)
-        st = self.ba_state
-        pv = np.asarray(st.pt_valid)
-        if pv.any():
-            # Project BA points into the new reference KF
-            pts_uv = np.asarray(st.pt_uv)[pv]
-            pts_id = np.asarray(st.pt_idepth)[pv]
-            host = np.asarray(st.pt_frame)[pv]
-            poses = np.asarray(st.poses)
-            fx, fy, cx, cy = self.K
-            w2c_ref = np.linalg.inv(kf.c2w)
-            for h in np.unique(host):
-                m = host == h
-                ray = np.stack([(pts_uv[m, 0] - cx) / fx,
-                                (pts_uv[m, 1] - cy) / fy,
-                                np.ones(m.sum())], -1)
-                pts_h = ray / np.maximum(pts_id[m][:, None], 1e-6)
-                pts_w = pts_h @ poses[h][:3, :3].T + poses[h][:3, 3]
-                pts_r = pts_w @ w2c_ref[:3, :3].T + w2c_ref[:3, 3]
-                z = pts_r[:, 2]
-                good = z > 0.01
-                u = np.round(fx * pts_r[good, 0] / z[good] + cx).astype(int)
-                v = np.round(fy * pts_r[good, 1] / z[good] + cy).astype(int)
-                inb = (u >= 0) & (u < self.W) & (v >= 0) & (v < self.H)
-                idepth0[v[inb], u[inb]] = 1.0 / z[good][inb]
-                weight0[v[inb], u[inb]] = 1.0
+        # Project BA points into the new reference KF on device (no host
+        # round trips; makeCoarseDepthL0 analogue)
+        idepth0, weight0 = _project_ba_points(
+            self.ba_state, jnp.asarray(kf.c2w.astype(np.float32)), self.K,
+            self.H, self.W)
 
         dense_id = dense_w = None
         if kf.sensor_depth is not None:
@@ -555,3 +545,30 @@ class FullSystem:
         write_optimization_windows(
             os.path.join(out_dir, "dso_optimization_windows.txt"),
             self.windows)
+
+
+@partial(jax.jit, static_argnums=(2, 3, 4))
+def _project_ba_points(state: BAState, ref_c2w, K, H: int, W: int):
+    """Scatter active BA points into level-0 idepth/weight maps of the new
+    reference keyframe (device-side makeCoarseDepthL0 input)."""
+    fx, fy, cx, cy = K
+    ray = jnp.stack([(state.pt_uv[:, 0] - cx) / fx,
+                     (state.pt_uv[:, 1] - cy) / fy,
+                     jnp.ones_like(state.pt_uv[:, 0])], -1)
+    pts_h = ray / jnp.maximum(state.pt_idepth[:, None], 1e-6)
+    poses = state.poses[state.pt_frame]
+    pts_w = jnp.einsum("nij,nj->ni", poses[:, :3, :3], pts_h) \
+        + poses[:, :3, 3]
+    R = ref_c2w[:3, :3].T
+    t = -R @ ref_c2w[:3, 3]
+    pts_r = pts_w @ R.T + t
+    z = pts_r[:, 2]
+    good = state.pt_valid & (z > 0.01)
+    zs = jnp.maximum(z, 1e-6)
+    u = jnp.round(fx * pts_r[:, 0] / zs + cx).astype(jnp.int32)
+    v = jnp.round(fy * pts_r[:, 1] / zs + cy).astype(jnp.int32)
+    good = good & (u >= 0) & (u < W) & (v >= 0) & (v < H)
+    flat = jnp.where(good, v * W + u, H * W)
+    idepth = jnp.zeros(H * W).at[flat].set(1.0 / zs, mode="drop")
+    weight = jnp.zeros(H * W).at[flat].set(1.0, mode="drop")
+    return idepth.reshape(H, W), weight.reshape(H, W)

@@ -51,6 +51,10 @@ class MvsnetRunner:
         self._ready = True
 
         def forward(variables, image, Ks, c2w, dmin, dmax, discard):
+            if image.dtype == jnp.uint8:
+                # Images ship as uint8 (4x less host->device traffic); the
+                # [0,1] normalization happens on device.
+                image = image.astype(jnp.float32) / 255.0
             return model.apply(variables, image, Ks, c2w, dmin, dmax,
                                depth_filter_discard_percentage=discard,
                                train=False)
@@ -72,8 +76,8 @@ class MvsnetRunner:
         ref_index = self.view_num - 2 if ref_index is None else ref_index
         bgrs = self.reorder_ref_first(list(bgrs), ref_index)
         poses = self.reorder_ref_first(list(cam_to_worlds), ref_index)
-        rgb = np.stack([b[..., ::-1] for b in bgrs]).astype(np.float32) / 255.0
-        image = np.transpose(rgb, (0, 3, 1, 2))[None]  # (1, V, 3, H, W)
+        rgb = np.stack([np.ascontiguousarray(b[..., ::-1]) for b in bgrs])
+        image = np.transpose(rgb, (0, 3, 1, 2))[None]  # (1, V, 3, H, W) u8
         K1, K2, K3 = stage_intrinsics_runtime(np.asarray(K, np.float32))
         Ks = tuple(k[None] for k in (K1, K2, K3))
         c2w = np.stack(poses)[None].astype(np.float32)
@@ -96,17 +100,20 @@ class MvsnetRunner:
              jnp.full((1,), discard_percentage, jnp.float32)), self.device)
         self._pending = self._forward(self.variables, *dev_args)
 
-    def get_result(self):
+    def get_result(self, device: bool = False):
         """Blocks until the pending computation finishes; returns stage3
-        depth/confidence (+ dense variants) as numpy (H, W) arrays."""
+        depth/confidence (+ dense variants). With device=True the arrays stay
+        on device (the TSDF consumer is jitted — avoids a download+reupload
+        round trip)."""
         assert not self._ready, "GetResult called before CallAsync"
         out = self._pending
         s3 = out.stage3
+        conv = (lambda x: x) if device else np.asarray
         result = {
-            "depth": np.asarray(s3.depth[0]),
-            "confidence": np.asarray(s3.confidence[0]),
-            "depth_dense": np.asarray(s3.depth_dense[0]),
-            "confidence_dense": np.asarray(s3.confidence_dense[0]),
+            "depth": conv(s3.depth[0]),
+            "confidence": conv(s3.confidence[0]),
+            "depth_dense": conv(s3.depth_dense[0]),
+            "confidence_dense": conv(s3.confidence_dense[0]),
         }
         self._pending = None
         self._ready = True

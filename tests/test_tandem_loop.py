@@ -44,7 +44,7 @@ class OracleRunner:
         }
         self._ready = False
 
-    def get_result(self):
+    def get_result(self, device: bool = False):
         res = self._pending
         self._pending = None
         self._ready = True

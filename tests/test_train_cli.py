@@ -52,3 +52,32 @@ def test_train_cli_one_epoch(tmp_path):
     ])
     tandem_train.main(args2)
     assert len(os.listdir(out2 / "ckpt")) == 1
+
+
+def test_train_cli_mesh_mode(tmp_path):
+    """Data-parallel training over the 8-device virtual mesh."""
+    import jax
+    if len(jax.devices()) < 2:
+        pytest.skip("needs the virtual multi-device mesh")
+
+    root = tmp_path / "replica"
+    os.makedirs(root, exist_ok=True)
+    # batch = BATCH_SIZE * world(8) = 8 tuples needed per step
+    write_scene(str(root / "office0"), n_frames=16, H=64, W=64)
+    (root / "train.txt").write_text("office0\n")
+
+    out_dir = tmp_path / "run_mesh"
+    from tandem_tpu.cli import tandem_train
+    args = tandem_train.parser.parse_args([
+        str(out_dir),
+        "DATA.ROOT_DIR", str(root),
+        "DATA.IMG_HEIGHT", "64",
+        "DATA.IMG_WIDTH", "64",
+        "MODEL.DEPTH_NUM", "(8, 8, 4)",
+        "TRAIN.EPOCHS", "1",
+        "TRAIN.BATCH_SIZE", "1",
+        "TRAIN.DEVICE", "mesh",
+        "IO.LOG_INTERVAL", "1",
+    ])
+    tandem_train.main(args)
+    assert len(os.listdir(out_dir / "ckpt")) == 1
