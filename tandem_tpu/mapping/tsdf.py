@@ -218,8 +218,17 @@ def _integrate_chunk(cfg: TsdfConfig, vol: TsdfVolume, depth_color, K,
                                                   start, 0))
 
 
+@jax.jit
+def _pack_scan(depth, color, cam_to_world):
+    depth_color = jnp.concatenate(
+        [depth.reshape(-1, 1), color.reshape(-1, 3)], -1)
+    w2c_R = cam_to_world[:3, :3].T
+    w2c_t = -w2c_R @ cam_to_world[:3, 3]
+    return depth_color, w2c_R, w2c_t
+
+
 def integrate(cfg: TsdfConfig, vol: TsdfVolume, depth, color, K, cam_to_world,
-              chunk: int = 4096):
+              chunk: int = 4096, n_allocated: int = None):
     """Fuse one (depth, color) scan into the volume.
 
     Host-driven chunking over ALLOCATED blocks only (the reference likewise
@@ -228,16 +237,15 @@ def integrate(cfg: TsdfConfig, vol: TsdfVolume, depth, color, K, cam_to_world,
     not the pool capacity.
 
     :param depth: (H, W); color: (H, W, 3) float [0,255] RGB; K: (3,3)
+    :param n_allocated: host-known allocation count; pass it to avoid a
+        blocking device sync (int(vol.n_allocated)) on the dispatch path
     """
     H, W = depth.shape
     cfg = dataclasses.replace(cfg, image_width=W)
-    depth_color = jnp.concatenate(
-        [depth.reshape(-1, 1), color.reshape(-1, 3)], -1)
-    w2c_R = cam_to_world[:3, :3].T
-    w2c_t = -w2c_R @ cam_to_world[:3, 3]
+    depth_color, w2c_R, w2c_t = _pack_scan(depth, color, cam_to_world)
     chunk = min(chunk, cfg.pool_size)
     assert cfg.pool_size % chunk == 0, "chunk must divide pool_size"
-    n = int(vol.n_allocated)
+    n = int(vol.n_allocated) if n_allocated is None else n_allocated
     for start in range(0, max(n, 1), chunk):
         vol = _integrate_chunk(cfg, vol, depth_color, K, w2c_R, w2c_t,
                                start, chunk)
@@ -331,7 +339,7 @@ def _splat_chunk(cfg: TsdfConfig, zbuf, vol: TsdfVolume, K, w2c_R, w2c_t,
 
 def render_depth_splat(cfg: TsdfConfig, vol: TsdfVolume, K, cam_to_world,
                        H: int, W: int, chunk: int = 4096,
-                       fill_rounds: int = 2):
+                       fill_rounds: int = 2, n_allocated: int = None):
     """Render the model depth by splatting near-surface voxels with a
     z-buffer (occlusion = scatter-min) instead of per-ray sphere tracing.
 
@@ -347,7 +355,7 @@ def render_depth_splat(cfg: TsdfConfig, vol: TsdfVolume, K, cam_to_world,
     w2c_t = -w2c_R @ cam_to_world[:3, 3]
     chunk = min(chunk, cfg.pool_size)
     zbuf = jnp.full((H * W,), jnp.inf)
-    n = int(vol.n_allocated)
+    n = int(vol.n_allocated) if n_allocated is None else n_allocated
     for start in range(0, max(n, 1), chunk):
         zbuf = _splat_chunk(cfg, zbuf, vol, K, w2c_R, w2c_t, start, chunk,
                             H, W)

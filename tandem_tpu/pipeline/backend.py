@@ -92,15 +92,19 @@ class TandemBackend:
             pose = jnp.asarray(ref_c2w)
             self.volume = allocate_blocks(self.cfg, self.volume, depth, Kj,
                                           pose)
+            # One sync per keyframe: the host-side chunk count for the
+            # integrate/render loops (avoids per-call blocking syncs).
+            self._n_alloc = int(self.volume.n_allocated)
             self.volume = integrate(self.cfg, self.volume, depth, rgb, Kj,
-                                    pose)
+                                    pose, n_allocated=self._n_alloc)
 
             # Render from the requested next tracking reference pose.
             # Surface-splat renderer: O(allocated surface), no march loops —
             # the sphere-traced raycast() remains available for color/debug.
             rdepth = render_depth_splat(self.cfg, self.volume, Kj,
                                         jnp.asarray(next_ref_c2w),
-                                        self.H, self.W)
+                                        self.H, self.W,
+                                        n_allocated=self._n_alloc)
             # Keep the rendered depth device-resident: its only consumer is
             # the (jitted) splat into the next tracking reference.
             self.depth_map.write(rdepth, np.asarray(next_ref_c2w))
