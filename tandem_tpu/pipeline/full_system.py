@@ -381,22 +381,20 @@ class FullSystem:
 
         t_act = self.timer.start_timing("kf_activate")
         # Activate matured immature points from ALL window keyframes
-        # (activatePointsMT over the active window, FullSystem.cpp:1335).
+        # (activatePointsMT over the active window, FullSystem.cpp:1335) —
+        # fully device-side: activation, free-slot assignment, and scatter
+        # insertion run in one jitted call per host KF (no host syncs).
         if not from_init:
+            tgt_c2w = jnp.asarray(c2w.astype(np.float32))
             for host_kf in self.kf_of_slot:
                 if (host_kf is None or host_kf is kf
-                        or host_kf.immature is None):
+                        or host_kf.immature is None
+                        or host_kf.slot is None):
                     continue
-                idep, ok = activate_points(host_kf.immature,
-                                           jnp.asarray(host_kf.c2w),
-                                           jnp.asarray(c2w), img, self.K)
-                okn = np.asarray(ok)
-                self._insert_points(host_kf, np.asarray(host_kf.immature.uv),
-                                    np.asarray(idep), okn)
-                # Activated candidates leave the immature set
-                if okn.any():
-                    host_kf.immature = host_kf.immature._replace(
-                        valid=host_kf.immature.valid & ~jnp.asarray(okn))
+                self.ba_state, host_kf.immature = _activate_and_insert(
+                    self.ba_state, host_kf.immature, host_kf.slot,
+                    jnp.asarray(host_kf.c2w.astype(np.float32)), tgt_c2w,
+                    img, host_kf.image, self.K)
 
         self.timer.end_timing("kf_activate", t_act)
         # RGB-D: seed points in the new KF directly from sensor depth
@@ -572,3 +570,44 @@ def _project_ba_points(state: BAState, ref_c2w, K, H: int, W: int):
     idepth = jnp.zeros(H * W).at[flat].set(1.0 / zs, mode="drop")
     weight = jnp.zeros(H * W).at[flat].set(1.0, mode="drop")
     return idepth.reshape(H, W), weight.reshape(H, W)
+
+
+@jax.jit
+def _activate_and_insert(state: BAState, pts, host_slot, host_c2w, tgt_c2w,
+                         tgt_img, host_img, K):
+    """Activate matured immature points and scatter them into free BA point
+    slots — one device program, no host round trips (the host-side insert
+    path needs pt_valid downloads + per-field scatters, each of which blocks
+    on the device queue).
+
+    :return: (new BAState, new ImmaturePoints with activated ones removed)
+    """
+    from ..tracking.immature import activate_points
+
+    idep, ok = activate_points(pts, host_c2w, tgt_c2w, tgt_img, K)
+
+    N = state.pt_valid.shape[0]
+    free = ~state.pt_valid
+    free_rank = jnp.cumsum(free.astype(jnp.int32)) - 1
+    slot_of_rank = jnp.zeros(N, jnp.int32).at[
+        jnp.where(free, free_rank, N)].set(
+        jnp.arange(N, dtype=jnp.int32), mode="drop")
+    n_free = jnp.sum(free.astype(jnp.int32))
+
+    ok_rank = jnp.cumsum(ok.astype(jnp.int32)) - 1
+    use = ok & (ok_rank < n_free)
+    dest = jnp.where(use, slot_of_rank[jnp.clip(ok_rank, 0, N - 1)], N)
+
+    u = pts.uv[:, 0:1] + PATTERN[None, :, 0]
+    v = pts.uv[:, 1:2] + PATTERN[None, :, 1]
+    colors = jax.vmap(lambda uu, vv: _bilinear(host_img, uu, vv))(u, v)
+
+    new_state = state._replace(
+        pt_frame=state.pt_frame.at[dest].set(host_slot, mode="drop"),
+        pt_uv=state.pt_uv.at[dest].set(pts.uv, mode="drop"),
+        pt_idepth=state.pt_idepth.at[dest].set(
+            jnp.maximum(idep, 1e-3), mode="drop"),
+        pt_color=state.pt_color.at[dest].set(colors, mode="drop"),
+        pt_valid=state.pt_valid.at[dest].set(True, mode="drop"))
+    new_pts = pts._replace(valid=pts.valid & ~use)
+    return new_state, new_pts
