@@ -33,7 +33,9 @@ from ..core.se3 import se3_exp
 from ..ops.linalg import solve_psd
 
 NUM_LEVELS = 6
-MAX_ITERS = (50, 50, 50, 50, 50, 50)  # per level, coarse uses fewer in practice
+# DSO's per-level LM iteration caps (CoarseTracker trackNewestCoarse
+# maxIterations {10,20,50,50,50,50})
+MAX_ITERS = (10, 20, 50, 50, 50, 50)
 CUTOFF_TH = 20.0                       # setting_coarseCutoffTH
 HUBER_TH = 9.0                         # setting_huberTH
 
@@ -265,8 +267,9 @@ def _lm_level(T, aff, level_data, max_iter):
     e0, n0, H0, g0 = energy_of(T, aff)
 
     def cond(state):
-        it, done, *_ = state
-        return (it < max_iter) & (~done)
+        it, done, T, aff, lam, *_ = state
+        # DSO also exits when lambda explodes (no progress possible)
+        return (it < max_iter) & (~done) & (lam < 1e4)
 
     def body(state):
         it, done, T, aff, lam, e, n, Hm, g = state
