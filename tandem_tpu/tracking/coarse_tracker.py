@@ -30,7 +30,7 @@ from jax import lax
 
 from ..core.pyramid import build_pyramid, pyramid_intrinsics
 from ..core.se3 import se3_exp
-from ..ops.linalg import solve_psd
+from ..ops.linalg import solve_gauss_jordan
 
 NUM_LEVELS = 6
 # DSO's per-level LM iteration caps (CoarseTracker trackNewestCoarse
@@ -275,7 +275,7 @@ def _lm_level(T, aff, level_data, max_iter):
         it, done, T, aff, lam, e, n, Hm, g = state
         # Solve (H + lam * diag(H)) dx = -g with light Tikhonov for rank safety
         Hl = Hm + lam * jnp.diag(jnp.diag(Hm)) + 1e-5 * jnp.eye(8)
-        dx = -solve_psd(Hl, g)
+        dx = -solve_gauss_jordan(Hl, g, 8)
         T_new = se3_exp(dx[:6]) @ T
         aff_new = aff + dx[6:]
         e_new, n_new, H_new, g_new = energy_of(T_new, aff_new)
