@@ -96,7 +96,13 @@ def solve_psd(A, b):
 
 
 def inv_psd_small(A, n: int):
-    """Inverse of small SPD matrix via Cholesky (for marginalization)."""
-    I = jnp.eye(n, dtype=A.dtype)
-    cols = [solve_psd(A, I[:, j]) for j in range(n)]
-    return jnp.stack(cols, -1)
+    """Inverse of a small SPD matrix via Gauss-Jordan on [A | I] (row-
+    parallel vector ops, shallow dependency chain)."""
+    M = jnp.concatenate([A, jnp.eye(n, dtype=A.dtype)], axis=1)  # (n, 2n)
+    for j in range(n):
+        pivot = M[j, j]
+        row_j = M[j] / jnp.where(jnp.abs(pivot) > 1e-30, pivot, 1e-30)
+        factors = M[:, j].at[j].set(0.0)
+        M = M - factors[:, None] * row_j[None, :]
+        M = M.at[j].set(row_j)
+    return M[:, n:]

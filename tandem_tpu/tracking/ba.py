@@ -37,7 +37,7 @@ import numpy as np
 from jax import lax
 
 from ..core.se3 import se3_exp, se3_inverse
-from ..ops.linalg import inv_psd_small, solve_psd
+from ..ops.linalg import inv_psd_small, solve_gauss_jordan
 
 # DSO's 8-point residual pattern (tandem/src/util/settings.h staticPattern).
 PATTERN = np.array([[0, -2], [-1, -1], [1, -1], [-2, 0],
@@ -328,7 +328,7 @@ def ba_iterate(state: BAState, images, K, iters: int = 4,
         A = H_ff - H_sc + lm_lambda * jnp.diag(jnp.diag(H_ff)) \
             + 1e-6 * jnp.eye(P)
         rhs = -(b_f - b_sc)
-        dx = solve_psd(A, rhs)                            # (P,)
+        dx = solve_gauss_jordan(A, rhs, P)                # (P,)
 
         d_id = -(b_p + H_fp @ dx) / H_pp_safe             # (N,)
         d_id = jnp.where(state.pt_valid, d_id, 0.0)

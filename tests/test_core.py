@@ -38,8 +38,12 @@ def test_se3_small_angle(rng):
     np.testing.assert_allclose(xi2, xi, atol=1e-7)
 
 
-def test_so3_roundtrip(rng):
+def test_so3_roundtrip():
+    # Local RNG + bounded |w| < pi: the log is only unique below pi, and the
+    # shared session RNG made this order-dependent.
+    rng = np.random.RandomState(7)
     w = rng.randn(8, 3).astype(np.float32)
+    w = w / np.maximum(np.linalg.norm(w, axis=1, keepdims=True), 1.0) * 1.5
     R = so3_exp(jnp.array(w))
     # orthonormality
     RtR = np.asarray(jnp.matmul(jnp.swapaxes(R, -1, -2), R))
