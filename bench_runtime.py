@@ -62,27 +62,25 @@ def main(n_frames=60):
     fs = FullSystem(fx, fx, cx, cy, H, W, options=opts, backend=backend,
                     timer=timer)
 
-    # Warmup (first frames trigger all compiles)
-    for i in range(12):
+    times = []
+    for i in range(n_frames):
         bgr = np.stack([frames[i]] * 3, -1).astype(np.uint8)
+        t0 = time.perf_counter()
         fs.add_active_frame(frames[i], i, i / 30.0, bgr=bgr)
+        times.append((time.perf_counter() - t0) * 1e3)
 
-    t0 = time.perf_counter()
-    n_meas = 0
-    for i in range(12, n_frames):
-        bgr = np.stack([frames[i]] * 3, -1).astype(np.uint8)
-        fs.add_active_frame(frames[i], i, i / 30.0, bgr=bgr)
-        n_meas += 1
-    dt = time.perf_counter() - t0
-    fps = n_meas / dt
-
-    print(f"frames={n_meas} keyframes={len(fs.keyframes)} "
+    warm = max(n_frames // 2, n_frames - 30)
+    steady = times[warm:]
+    med = float(np.median(steady))
+    print(f"frames={n_frames} keyframes={len(fs.keyframes)} "
           f"backend_calls={backend.call_num}")
     for name in sorted(timer.intervals):
-        print(f"  {name}: mean {timer.mean_ms(name):.1f} ms "
+        v = timer.intervals[name][5:] or timer.intervals[name]
+        print(f"  {name}: steady-mean {np.mean(v):.0f} ms "
               f"x{len(timer.intervals[name])}")
-    print(f"END-TO-END: {fps:.2f} FPS ({1000 / fps:.1f} ms/frame) "
-          f"vs baseline ~21 FPS")
+    print(f"END-TO-END steady: {1000 / med:.2f} FPS ({med:.1f} ms/frame) "
+          f"vs reference ~21 FPS (desktop GPU; see docs/PERF.md for the "
+          f"tunnel-bandwidth caveat)")
 
 
 if __name__ == "__main__":

@@ -356,7 +356,9 @@ class FullSystem:
         img_np = kf.image
         u = jnp.asarray(uv[sel, 0:1] + PATTERN[None, :, 0])
         v = jnp.asarray(uv[sel, 1:2] + PATTERN[None, :, 1])
-        colors = jax.vmap(lambda uu, vv: _bilinear(img_np, uu, vv))(u, v)
+        n_sel = u.shape[0]
+        colors = _bilinear(img_np, u.reshape(-1), v.reshape(-1)).reshape(
+            n_sel, 8)
 
         st = self.ba_state
         fidx = jnp.asarray(free)
@@ -600,7 +602,7 @@ def _activate_and_insert(state: BAState, pts, host_slot, host_c2w, tgt_c2w,
 
     u = pts.uv[:, 0:1] + PATTERN[None, :, 0]
     v = pts.uv[:, 1:2] + PATTERN[None, :, 1]
-    colors = jax.vmap(lambda uu, vv: _bilinear(host_img, uu, vv))(u, v)
+    colors = _bilinear(host_img, u.reshape(-1), v.reshape(-1)).reshape(-1, 8)
 
     new_state = state._replace(
         pt_frame=state.pt_frame.at[dest].set(host_slot, mode="drop"),

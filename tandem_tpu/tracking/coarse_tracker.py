@@ -280,8 +280,14 @@ def _lm_level(T, aff, level_data, max_iter):
         aff_new = aff + dx[6:]
         e_new, n_new, H_new, g_new = energy_of(T_new, aff_new)
 
-        accept = (e_new / jnp.maximum(n_new, 1.0)) < (e / jnp.maximum(n, 1.0))
-        small = jnp.max(jnp.abs(dx)) < 1e-5
+        e_old_n = e / jnp.maximum(n, 1.0)
+        e_new_n = e_new / jnp.maximum(n_new, 1.0)
+        accept = e_new_n < e_old_n
+        # Converged: tiny step, or an accepted step that barely improved the
+        # energy (DSO breaks on small relative improvement) — without this,
+        # noisy sparse refs burn the full iteration budget.
+        small = (jnp.max(jnp.abs(dx)) < 1e-5) | \
+            (accept & (e_old_n - e_new_n < 1e-4 * jnp.maximum(e_old_n, 1e-6)))
         return (it + 1, small,
                 jnp.where(accept, T_new, T),
                 jnp.where(accept, aff_new, aff),

@@ -49,7 +49,8 @@ def make_immature(uv, host_img, id_min=0.01, id_max=10.0):
     N = uv.shape[0]
     u = uv[:, 0:1] + PATTERN[None, :, 0]
     v = uv[:, 1:2] + PATTERN[None, :, 1]
-    color = jax.vmap(lambda uu, vv: _bilinear(host_img, uu, vv))(u, v)
+    # One flat gather (vmapped gathers lower to slow per-batch gathers)
+    color = _bilinear(host_img, u.reshape(-1), v.reshape(-1)).reshape(N, 8)
     return ImmaturePoints(
         uv=uv.astype(jnp.float32),
         id_min=jnp.full((N,), id_min),
