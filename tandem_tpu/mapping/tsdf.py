@@ -139,15 +139,15 @@ def allocate_blocks(cfg: TsdfConfig, vol: TsdfVolume, depth, K, cam_to_world):
 
     page_table = jnp.where(can_alloc, slot, vol.page_table)
 
-    # Inverse map: scatter block coords into newly assigned slots.
-    T = cfg.table_dim
-    idx3 = jnp.arange(cfg.table_dim ** 3, dtype=jnp.int32)
-    bx = idx3 // (T * T) - T // 2
-    by = (idx3 // T) % T - T // 2
-    bz = idx3 % T - T // 2
-    coords = jnp.stack([bx, by, bz], -1)
-    scatter_to = jnp.where(can_alloc, slot, cfg.pool_size)  # OOB -> dropped
-    block_coords = vol.block_coords.at[scatter_to].set(coords, mode="drop")
+    # Inverse map: scatter block coords into newly assigned slots. Route the
+    # scatter through the SAMPLES (0.9M rows) instead of the full table
+    # (4M rows) — each sample looks up its block's new slot and writes its
+    # own integer block coordinate there (duplicates write identical values).
+    sample_slot = jnp.where(
+        can_alloc[jnp.clip(flat, 0, cfg.table_dim ** 3 - 1)] & ok,
+        page_table[jnp.clip(flat, 0, cfg.table_dim ** 3 - 1)],
+        cfg.pool_size)  # OOB -> dropped
+    block_coords = vol.block_coords.at[sample_slot].set(blocks, mode="drop")
 
     n_new = jnp.sum(can_alloc.astype(jnp.int32))
     return vol.replace(page_table=page_table, block_coords=block_coords,
