@@ -152,8 +152,11 @@ class FullSystem:
             energy = float(out["energy"])
         self.timer.end_timing("track_frame", tid)
 
-        if not np.isfinite(energy):
-            # "BIG ERROR! tracking failed entirely" (FullSystem.cpp:610-615)
+        if not np.isfinite(energy) or float(out["valid_frac"]) <= 0.0 \
+                or float(out["num_terms"]) < 16:
+            # "BIG ERROR! tracking failed entirely" (FullSystem.cpp:610-615);
+            # a zero-support track would otherwise return identity with
+            # energy 0 and let the motion model extrapolate unboundedly.
             self.is_lost = True
             return
         self._last_energy = energy
@@ -170,6 +173,20 @@ class FullSystem:
         if need_kf:
             self._make_keyframe(img, frame_id, timestamp, c2w, bgr)
 
+
+    def _select_candidates(self, img) -> np.ndarray:
+        """Gradient-based candidate selection with DSO-style density
+        adaptation: if far too few pixels clear the threshold, relax it and
+        retry (PixelSelector2::makeMaps recursion on desired density)."""
+        pyr = build_pyramid(img, 1)
+        factor = self.opt.selection_threshold_factor
+        for _ in range(4):
+            mask = select_pixels(pyr[0]["abs_grad2"], threshold_factor=factor)
+            if int(np.asarray(mask).sum()) >= self.opt.immature_cap // 4:
+                break
+            factor *= 0.4
+        return np.asarray(mask)
+
     # ------------------------------------------------------------------
     def _first_frame_rgbd(self, img, frame_id, timestamp, bgr, depth):
         """RGB-D initialization: sensor depth provides metric structure at
@@ -182,11 +199,8 @@ class FullSystem:
         self._record_pose(frame_id, timestamp, kf.c2w)
         self._assign_slot(kf)
 
-        pyr = build_pyramid(img, 1)
-        mask = select_pixels(
-            pyr[0]["abs_grad2"],
-            threshold_factor=self.opt.selection_threshold_factor)
-        uv = self._mask_to_uv(np.asarray(mask), self.opt.immature_cap)
+        mask = self._select_candidates(img)
+        uv = self._mask_to_uv(mask, self.opt.immature_cap)
         d = kf.sensor_depth[uv[:, 1].astype(int), uv[:, 0].astype(int)]
         ok = d > 0.05
         self._insert_points(kf, uv, 1.0 / np.maximum(d, 0.05), ok)
@@ -203,10 +217,8 @@ class FullSystem:
     def _first_frame(self, img, frame_id, timestamp, bgr):
         kf = Keyframe(frame_id, timestamp, img, np.eye(4, dtype=np.float32))
         kf.bgr = bgr
-        pyr = build_pyramid(img, 1)
-        mask = select_pixels(pyr[0]["abs_grad2"],
-                             threshold_factor=self.opt.selection_threshold_factor)
-        uv = self._mask_to_uv(np.asarray(mask), self.opt.immature_cap)
+        mask = self._select_candidates(img)
+        uv = self._mask_to_uv(mask, self.opt.immature_cap)
         kf.immature = make_immature(jnp.asarray(uv), img,
                                     id_min=0.05, id_max=5.0)
         self.keyframes.append(kf)
@@ -215,7 +227,7 @@ class FullSystem:
         # Tracker ref with flat idepth prior (scale-free bootstrap)
         idepth0 = np.zeros((self.H, self.W), np.float32)
         weight0 = np.zeros((self.H, self.W), np.float32)
-        sel = np.asarray(mask)
+        sel = mask
         idepth0[sel] = 1.0
         weight0[sel] = 1.0
         self.tracker_ref = make_tracker_ref(
@@ -402,11 +414,8 @@ class FullSystem:
         # RGB-D: seed points in the new KF directly from sensor depth
         # (makeNewTraces gt seeding: idepth_max=idepth_min=1/gtDepth)
         if kf.sensor_depth is not None:
-            pyr0 = build_pyramid(img, 1)
-            m0 = select_pixels(
-                pyr0[0]["abs_grad2"],
-                threshold_factor=self.opt.selection_threshold_factor)
-            uv0 = self._mask_to_uv(np.asarray(m0), self.opt.immature_cap)
+            m0 = self._select_candidates(img)
+            uv0 = self._mask_to_uv(m0, self.opt.immature_cap)
             d0 = kf.sensor_depth[uv0[:, 1].astype(int), uv0[:, 0].astype(int)]
             self._insert_points(kf, uv0, 1.0 / np.maximum(d0, 0.05), d0 > 0.05)
 
@@ -433,10 +442,8 @@ class FullSystem:
 
         t_sel = self.timer.start_timing("kf_select")
         # New immature points in this KF
-        pyr = build_pyramid(img, 1)
-        mask = select_pixels(pyr[0]["abs_grad2"],
-                             threshold_factor=self.opt.selection_threshold_factor)
-        uv = self._mask_to_uv(np.asarray(mask), self.opt.immature_cap)
+        mask = self._select_candidates(img)
+        uv = self._mask_to_uv(mask, self.opt.immature_cap)
         kf.immature = make_immature(jnp.asarray(uv), img, id_min=0.05,
                                     id_max=5.0)
 

@@ -189,6 +189,12 @@ def activate_points(pts: ImmaturePoints, host_c2w, target_c2w, target_img, K):
     idep, _ = lax.scan(gn_step, idep0, None, length=GN_ITERS)
     r, inb = energy(idep)
     e = jnp.sum(r * r, -1)
-    ok = pts.valid & inb & (e < (12.0 ** 2) * 8) & \
+    # Maturity: the epipolar interval must have converged — activating
+    # wide-interval candidates injects biased structure that compounds
+    # through BA and the tracking ref (DSO requires small idepth variance
+    # before activation, FullSystem activatePoints canActivate checks).
+    width = pts.id_max - pts.id_min
+    mature = width < jnp.maximum(0.25 * idep0, 0.05)
+    ok = pts.valid & inb & mature & (e < (12.0 ** 2) * 8) & \
         (pts.status == STATUS_GOOD)
     return idep, ok
