@@ -23,23 +23,10 @@ import numpy as np
 
 
 def parse_args(argv):
-    """key=value argument chain (commandline.cpp:149-410 style)."""
-    args = {"preset": "dataset", "files": None, "calib": None,
-            "gamma": None, "vignette": None, "preload": 0,
-            "result_folder": "results", "mvsnet_folder": None,
-            "start": 0, "end": -1, "mesh_extraction_freq": 10,
-            "mvsnet_discard_percentage": 10.0, "dr_timing": 0}
-    for a in argv:
-        if "=" not in a:
-            continue
-        k, v = a.split("=", 1)
-        if k in ("start", "end", "mesh_extraction_freq", "dr_timing",
-                 "preload"):
-            v = int(v)
-        elif k in ("mvsnet_discard_percentage",):
-            v = float(v)
-        args[k] = v
-    return args
+    """Strict key=value argument chain (commandline.cpp:149-410): routed
+    through settings.parse_arguments so unknown keys raise KeyError."""
+    from ..settings import parse_arguments, preset
+    return parse_arguments(argv, base=preset("dataset"))
 
 
 def read_calib(path):
@@ -64,9 +51,9 @@ def read_calib(path):
 
 
 def main(argv=None):
-    args = parse_args(argv if argv is not None else sys.argv[1:])
-    assert args["files"], "files=IMG_DIR required"
-    assert args["calib"], "calib=CAMERA.txt required"
+    s = parse_args(argv if argv is not None else sys.argv[1:])
+    assert s.files, "files=IMG_DIR required"
+    assert s.calib, "calib=CAMERA.txt required"
 
     import cv2
     import jax.numpy as jnp
@@ -79,20 +66,21 @@ def main(argv=None):
     from ..models.cva_mvsnet import CvaMVSNet
     from ..utils.timer import Timer
 
-    fx, fy, cx, cy, W, H = read_calib(args["calib"])
+    fx, fy, cx, cy, W, H = read_calib(s.calib)
     K_mat = np.array([[fx, 0, cx], [0, fy, cy], [0, 0, 1]], np.float32)
-    timer = Timer(enabled=bool(args["dr_timing"]))
+    timer = Timer(enabled=bool(s.dr_timing))
 
     backend = None
-    if args["mvsnet_folder"]:
+    if s.mvsnet_folder:
         import pickle
-        with open(os.path.join(args["mvsnet_folder"],
+        with open(os.path.join(s.mvsnet_folder,
                                "model_variables.pkl"), "rb") as f:
             variables = pickle.load(f)
         model = CvaMVSNet(view_aggregation=True, dtype=jnp.bfloat16)
-        runner = MvsnetRunner(model, variables, H, W, view_num=7)
+        runner = MvsnetRunner(model, variables, H, W,
+                              view_num=s.dr_mvsnet_view_num)
         # Boot-time golden self-check (FullSystem initDr, dr_mvsnet_test)
-        pack = os.path.join(args["mvsnet_folder"], "sample_inputs.npz")
+        pack = os.path.join(s.mvsnet_folder, "sample_inputs.npz")
         if os.path.exists(pack):
             from .tandem_export import verify_golden, GOLDEN_TOL
             err = verify_golden(pack, variables)
@@ -101,28 +89,36 @@ def main(argv=None):
             assert err < 10 * GOLDEN_TOL
         cfg = TsdfConfig()
         backend = TandemBackend(runner, cfg, K_mat, H, W,
-                                mesh_extraction_freq=args["mesh_extraction_freq"],
+                                mesh_extraction_freq=s.mesh_extraction_freq,
                                 timer=timer)
 
-    fs = FullSystem(fx, fy, cx, cy, H, W, backend=backend, timer=timer)
+    opts = FullSystemOptions(
+        max_keyframes=s.max_frames,
+        mvs_view_num=s.dr_mvsnet_view_num,
+        mvs_discard_percentage=s.mvsnet_discard_percentage,
+        tracking_step=s.tracking_step,
+        rgbd=s.rgbd,
+        dense_tracking=(s.tracking_type == "dense"))
+    fs = FullSystem(fx, fy, cx, cy, H, W, options=opts, backend=backend,
+                    timer=timer)
 
     # ImageFolderReader handles undistortion (geometric + photometric) and
     # times.txt timestamps (DatasetReader semantics).
     from ..data.reader import ImageFolderReader
     needs_undistort = False
-    with open(args["calib"]) as f:
+    with open(s.calib) as f:
         clines = [ln.strip() for ln in f if ln.strip()]
     if len(clines) >= 3 and clines[2].split()[0] != "none":
         needs_undistort = True
     if clines[0].split()[0].lower() not in ("pinhole",):
         needs_undistort = True
     reader = ImageFolderReader(
-        args["files"], calib=args["calib"] if needs_undistort else None,
-        gamma=args["gamma"], vignette=args["vignette"],
-        preload=bool(args["preload"]))
+        s.files, calib=s.calib if needs_undistort else None,
+        gamma=s.gamma or None, vignette=s.vignette or None,
+        preload=s.preload)
 
-    end = len(reader) if args["end"] < 0 else min(args["end"], len(reader))
-    indices = list(range(args["start"], end))
+    end = min(s.end, len(reader)) if s.end >= 0 else len(reader)
+    indices = list(range(s.start, end))
 
     t_start = time.time()
     for i in indices:
@@ -133,21 +129,21 @@ def main(argv=None):
         # (main_tandem_pangolin.cpp:237-255).
         if (fs.init_failed or fs.is_lost) and i < 250:
             print(f"RESETTING at frame {i} (init_failed={fs.init_failed})")
-            fs = FullSystem(fx, fy, cx, cy, H, W, backend=backend,
-                            timer=timer)
+            fs = FullSystem(fx, fy, cx, cy, H, W, options=opts,
+                            backend=backend, timer=timer)
             continue
         if fs.is_lost:
             print(f"LOST at frame {i}")
             break
     elapsed = time.time() - t_start
 
-    out = args["result_folder"]
+    out = s.result_folder
     os.makedirs(out, exist_ok=True)
     fs.write_results(out)
     if backend is not None:
         verts, faces, cols = backend.extract_mesh_now()
         save_obj(os.path.join(out, "mesh.obj"), verts, faces, cols)
-    if args["dr_timing"]:
+    if s.dr_timing:
         timer.write_to_file(os.path.join(out, "dr_times.txt"))
 
     n = len(fs.all_poses)

@@ -21,14 +21,10 @@ import numpy as np
 
 def main(argv=None):
     argv = argv if argv is not None else sys.argv[1:]
-    args = {"camera": None, "replay": None, "calib": None, "demo_secs": 30.0,
-            "result_folder": "demo_results", "mvsnet_folder": None}
-    for a in argv:
-        if "=" in a:
-            k, v = a.split("=", 1)
-            if k == "demo_secs":
-                v = float(v)
-            args[k] = v
+    from ..settings import parse_arguments, preset
+    s = parse_arguments(argv, base=preset("demo"))
+    s.result_folder = (s.result_folder if s.result_folder != "results"
+                       else "demo_results")
 
     import cv2
 
@@ -36,27 +32,28 @@ def main(argv=None):
     from ..pipeline.full_system import FullSystem
     from .tandem_dataset import read_calib
 
-    if args["replay"]:
-        assert args["calib"], "replay needs calib="
-        fx, fy, cx, cy, W, H = read_calib(args["calib"])
-        cam = ReplayCamera(args["replay"], (fx, fy, cx, cy))
+    if s.replay:
+        assert s.calib, "replay needs calib="
+        fx, fy, cx, cy, W, H = read_calib(s.calib)
+        cam = ReplayCamera(s.replay, (fx, fy, cx, cy))
     else:
-        cam = OpenCVCamera(int(args["camera"] or 0))
+        cam = OpenCVCamera(int(s.camera or 0))
     fx, fy, cx, cy, W, H = cam.intrinsics()
 
     backend = None
-    if args["mvsnet_folder"]:
+    if s.mvsnet_folder:
         import pickle
         import jax.numpy as jnp
         from ..mapping.tsdf import TsdfConfig
         from ..models.cva_mvsnet import CvaMVSNet
         from ..pipeline.backend import TandemBackend
         from ..pipeline.mvsnet_runner import MvsnetRunner
-        with open(os.path.join(args["mvsnet_folder"],
+        with open(os.path.join(s.mvsnet_folder,
                                "model_variables.pkl"), "rb") as f:
             variables = pickle.load(f)
         model = CvaMVSNet(view_aggregation=True, dtype=jnp.bfloat16)
-        runner = MvsnetRunner(model, variables, H, W, view_num=7)
+        runner = MvsnetRunner(model, variables, H, W,
+                              view_num=s.dr_mvsnet_view_num)
         K_mat = np.array([[fx, 0, cx], [0, fy, cy], [0, 0, 1]], np.float32)
         backend = TandemBackend(runner, TsdfConfig(), K_mat, H, W)
 
@@ -64,7 +61,7 @@ def main(argv=None):
     t0 = time.time()
     n = 0
     for bgr, ts in cam.frames():
-        if time.time() - t0 > args["demo_secs"]:
+        if time.time() - t0 > s.demo_secs:
             break
         gray = cv2.cvtColor(bgr, cv2.COLOR_BGR2GRAY).astype(np.float32)
         fs.add_active_frame(gray, n, ts, bgr=bgr)
@@ -73,12 +70,12 @@ def main(argv=None):
             print("tracking lost")
             break
 
-    os.makedirs(args["result_folder"], exist_ok=True)
-    fs.write_results(args["result_folder"])
+    os.makedirs(s.result_folder, exist_ok=True)
+    fs.write_results(s.result_folder)
     if backend is not None:
         from ..mapping.mesh import save_obj
         verts, faces, cols = backend.extract_mesh_now()
-        save_obj(os.path.join(args["result_folder"], "mesh.obj"),
+        save_obj(os.path.join(s.result_folder, "mesh.obj"),
                  verts, faces, cols)
     print(f"demo: {n} frames in {time.time() - t0:.1f}s")
 

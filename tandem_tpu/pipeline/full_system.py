@@ -54,6 +54,7 @@ class FullSystemOptions:
     init_min_good_frac: float = 0.5
     init_max_width: float = 0.25
     mvs_view_num: int = 7
+    mvs_discard_percentage: float = 10.0  # setting_mvsnet_discard_percentage
     tracking_step: int = 3            # setting_tracking_step dense stride
     rgbd: bool = False                # RGB-D mode (rgbd_flag)
     dense_tracking: bool = True       # tracking=dense vs sparse
@@ -490,7 +491,8 @@ class FullSystem:
             bgrs=[k.bgr for k in window],
             cam_to_worlds=[k.c2w for k in window],
             depth_min=0.01, depth_max=float(dmax),
-            next_ref_c2w=kf.c2w)
+            next_ref_c2w=kf.c2w,
+            discard_percentage=self.opt.mvs_discard_percentage)
 
     def _set_tracking_ref(self, kf: Keyframe, mvs: Optional[dict]):
         """setCoarseTrackingRef with TSDF-rendered dense injection

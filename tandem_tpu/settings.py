@@ -51,6 +51,17 @@ class Settings:
     # RGB-D mode (rgbd_flag)
     rgbd: bool = False
     rgbd_depth_scale: float = 1.0
+    # --- input/output paths (commandline.cpp files=/calib=/gamma=/vignette=
+    # argument chain; result_folder replaces the hardcoded cwd outputs) ---
+    files: str = ""
+    calib: str = ""
+    gamma: str = ""
+    vignette: str = ""
+    result_folder: str = "results"
+    # --- demo main (main_tandem_realsense.cpp) ---
+    camera: str = ""
+    replay: str = ""
+    demo_secs: float = 30.0
 
 
 def preset(name: str) -> Settings:
@@ -86,7 +97,7 @@ _INT_KEYS = {"min_frames", "max_frames", "max_opt_iterations", "mode",
              "start", "end", "min_opt_iterations"}
 _FLOAT_KEYS = {"desired_immature_density", "desired_point_density",
                "kf_global_weight", "huber_th", "coarse_cutoff_th",
-               "mvsnet_discard_percentage", "rgbd_depth_scale"}
+               "mvsnet_discard_percentage", "rgbd_depth_scale", "demo_secs"}
 
 
 def parse_arguments(argv, base: Optional[Settings] = None) -> Settings:
