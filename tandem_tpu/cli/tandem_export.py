@@ -104,6 +104,10 @@ def verify_golden(pack_path: str, variables, args=None) -> float:
         discard_percentage = float(pack["discard_percentage"])
     inputs = {k: pack[k] for k in ("image", "K1", "K2", "K3", "cam_to_world",
                                    "depth_min", "depth_max")}
+    if inputs["image"].dtype == np.uint8:
+        # Packs store quantized images (the runtime's own input domain);
+        # replay converts exactly like the BGR uint8 path does.
+        inputs["image"] = inputs["image"].astype(np.float32) / 255.0
     outputs = run_model(variables, inputs, args or _A)
     worst = 0.0
     for k, v in outputs.items():

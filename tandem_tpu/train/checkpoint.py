@@ -57,10 +57,16 @@ def load_torch_weights(path: str, view_aggregation: bool = True) -> Dict:
 
     from ..models.torch_convert import convert_state_dict
 
-    payload = torch.load(path, map_location="cpu")
-    sd = payload.get("state_dict", payload)
-    sd = {k: v.numpy() if hasattr(v, "numpy") else np.asarray(v)
-          for k, v in sd.items()}
+    try:
+        payload = torch.load(path, map_location="cpu", weights_only=False)
+        sd = payload.get("state_dict", payload)
+        sd = {k: v.numpy() if hasattr(v, "numpy") else np.asarray(v)
+              for k, v in sd.items()}
+    except RuntimeError:
+        # TorchScript archive (the reference's exported model.pt): recover
+        # the trained weights via frozen_extract.
+        from ..models.frozen_extract import extract_reference_weights
+        sd = extract_reference_weights(path)
     return jax.tree_util.tree_map(
         jnp.asarray, convert_state_dict(sd, view_aggregation=view_aggregation))
 
