@@ -61,6 +61,21 @@ def solve_gauss_jordan(A, b, n: int):
     return M[:, n]
 
 
+def solve_gauss_jordan_batched(A, b, n: int):
+    """Batched Gauss-Jordan solve: A (B, n, n), b (B, n) -> (B, n). Same
+    vector row operations as solve_gauss_jordan with a leading batch dim
+    (used for the multi-hypothesis tracker retries)."""
+    M = jnp.concatenate([A, b[..., None]], axis=-1)  # (B, n, n+1)
+    for j in range(n):
+        pivot = M[:, j, j]
+        safe = jnp.where(jnp.abs(pivot) > 1e-30, pivot, 1e-30)
+        row_j = M[:, j] / safe[:, None]               # (B, n+1)
+        factors = M[:, :, j].at[:, j].set(0.0)        # (B, n)
+        M = M - factors[..., None] * row_j[:, None, :]
+        M = M.at[:, j].set(row_j)
+    return M[..., n]
+
+
 def cholesky_small(A, n: int):
     """Unrolled Cholesky factor of an (n, n) SPD matrix (static small n)."""
     L = jnp.zeros_like(A)

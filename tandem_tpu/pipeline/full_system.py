@@ -29,7 +29,6 @@ import jax.numpy as jnp
 import numpy as np
 
 from ..core.pyramid import build_pyramid
-from ..core.se3 import se3_exp, se3_inverse
 from ..tracking.ba import (BAState, PATTERN, _bilinear, ba_iterate,
                            create_ba_state, marginalize_frame,
                            remove_outliers)
@@ -40,6 +39,17 @@ from ..tracking.immature import (ImmaturePoints, activate_points,
 from ..tracking.point_selection import select_pixels
 from ..utils.timer import Timer
 from .io import write_poses_mat, write_result_tum
+
+
+def _np_rigid_inverse(T: np.ndarray) -> np.ndarray:
+    """Host-side 4x4 rigid-transform inverse. Pure numpy on purpose: eager
+    JAX ops pulled to numpy flip remote backends into a slow per-dispatch
+    mode (measured ~50 ms/dispatch afterwards on the axon tunnel)."""
+    R = T[:3, :3]
+    out = np.eye(4, dtype=np.float32)
+    out[:3, :3] = R.T
+    out[:3, 3] = -R.T @ T[:3, 3]
+    return out
 
 
 @dataclasses.dataclass
@@ -162,7 +172,7 @@ class FullSystem:
             return
         self._last_energy = energy
         T = np.asarray(out["T"])                # ref -> new (w2c rel)
-        c2w = self.ref_kf.c2w @ np.asarray(se3_inverse(jnp.asarray(T)))
+        c2w = self.ref_kf.c2w @ _np_rigid_inverse(T)
         self._record_pose(frame_id, timestamp, c2w)
 
         # Epipolar tracing of all window KFs' immature points runs on EVERY
@@ -244,7 +254,7 @@ class FullSystem:
         out = track_frame(self.tracker_ref, img, jnp.asarray(T_init),
                           jnp.array([1.0, 0.0]))
         T = np.asarray(out["T"])
-        c2w = kf.c2w @ np.asarray(se3_inverse(jnp.asarray(T)))
+        c2w = kf.c2w @ _np_rigid_inverse(T)
         self._record_pose(frame_id, timestamp, c2w)
 
         kf.immature = trace_points(kf.immature, jnp.asarray(kf.c2w),

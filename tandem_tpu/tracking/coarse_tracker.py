@@ -2,11 +2,13 @@
 
 Re-design of the reference CoarseTracker (tandem/src/FullSystem/
 CoarseTracker.cpp:736-937 trackNewestCoarse, :148- makeCoarseDepthL0, and the
-GPU residual kernels in libdr/cuda_coarse_tracker): DSO's per-point lists
-become dense per-level inverse-depth maps with validity masks, so every LM
-iteration is a fixed-shape vectorized XLA program (bilinear gather from the
-new image + masked 8x8 normal-equation reduction — the 45-accumulator kernel
-cuda_coarse_tracker_private.cu:261-445 becomes one einsum).
+GPU residual kernels in libdr/cuda_coarse_tracker): like DSO's per-level
+point clouds (pc_u/pc_v/pc_idepth/pc_color, CoarseTracker.h:76-81), the
+reference state is a fixed-capacity point list per pyramid level, compacted
+once per keyframe from the projected idepth maps. Every LM iteration is then
+a fixed-shape O(points) program (bilinear gather from the new image + masked
+8x8 normal-equation reduction — the 45-accumulator kernel
+cuda_coarse_tracker_private.cu:261-445 becomes one einsum over the list).
 
 Model: ref pixel (x, y) with inverse depth id maps to the new frame via
 q = R K^-1 (x,y,1) + t*id, pixel' = K (q/qz); photometric residual
@@ -22,7 +24,7 @@ that have no sparse point (CoarseTracker.cpp:633-733 semantics).
 from __future__ import annotations
 
 from functools import partial
-from typing import List, NamedTuple, Tuple
+from typing import NamedTuple, Tuple
 
 import jax
 import jax.numpy as jnp
@@ -30,7 +32,7 @@ from jax import lax
 
 from ..core.pyramid import build_pyramid, pyramid_intrinsics
 from ..core.se3 import se3_exp
-from ..ops.linalg import solve_gauss_jordan
+from ..ops.linalg import solve_gauss_jordan_batched
 
 NUM_LEVELS = 6
 # DSO's per-level LM iteration caps (CoarseTracker trackNewestCoarse
@@ -41,11 +43,57 @@ HUBER_TH = 9.0                         # setting_huberTH
 
 
 class CoarseTrackerRef(NamedTuple):
-    """Per-level dense reference state (fine -> coarse lists stacked)."""
-    images: Tuple[jnp.ndarray, ...]    # (H_l, W_l) intensities
-    idepth: Tuple[jnp.ndarray, ...]    # (H_l, W_l)
-    valid: Tuple[jnp.ndarray, ...]     # (H_l, W_l) bool
-    K: Tuple[Tuple[float, float, float, float], ...]  # fx, fy, cx, cy per level
+    """Per-level point lists (fine -> coarse), fixed capacity per level.
+
+    DSO equivalent: pc_u/pc_v/pc_idepth/pc_color + pc_n
+    (CoarseTracker.h:76-81); capacity padding is masked by ``pvalid``.
+    """
+    pu: Tuple[jnp.ndarray, ...]        # (N_l,) pixel x
+    pv: Tuple[jnp.ndarray, ...]        # (N_l,) pixel y
+    pid: Tuple[jnp.ndarray, ...]       # (N_l,) inverse depth
+    pcolor: Tuple[jnp.ndarray, ...]    # (N_l,) ref intensity at the point
+    pvalid: Tuple[jnp.ndarray, ...]    # (N_l,) bool
+    K: Tuple[Tuple[float, float, float, float], ...]  # fx, fy, cx, cy
+
+
+def _level_caps(H: int, W: int, dense: bool):
+    """Static per-level point capacities.
+
+    Dense (TANDEM) refs carry a stride-3 grid (~H*W/9 points at level 0,
+    CoarseTracker.cpp:706-724); sparse DSO refs carry ~2k active points plus
+    dilation growth at coarse levels. Over-capacity maps are decimated
+    evenly, so a generous bound is safe and a tight one only subsamples.
+    """
+    caps = []
+    for lvl in range(NUM_LEVELS):
+        hw = max((H >> lvl) * (W >> lvl), 1)
+        if dense:
+            want = (hw // 8 + 4096, 16384, 8192, 8192, 8192, 8192)[lvl]
+        else:
+            want = (4096, 6144, 8192, 8192, 8192, 8192)[lvl]
+        cap = min(hw, want)
+        caps.append(-(-cap // 128) * 128)
+    return caps
+
+
+def _compact_level(img, idepth, weight, cap: int):
+    """Dense (H, W) maps -> fixed-size point list. Evenly decimates when the
+    valid count exceeds ``cap`` (stride over the valid ranks, no spatial
+    bias)."""
+    H, W = img.shape
+    flat = (weight > 0).reshape(-1)
+    count = jnp.sum(flat.astype(jnp.int32))
+    step = jnp.maximum((count + cap - 1) // cap, 1)
+    rank = jnp.cumsum(flat.astype(jnp.int32)) - 1
+    keep = flat & (rank % step == 0)
+    idx = jnp.nonzero(keep, size=cap, fill_value=-1)[0]
+    ok = idx >= 0
+    idxc = jnp.maximum(idx, 0)
+    pu = (idxc % W).astype(jnp.float32)
+    pv = (idxc // W).astype(jnp.float32)
+    pid = idepth.reshape(-1)[idxc]
+    pcol = img.reshape(-1)[idxc]
+    return pu, pv, pid, pcol, ok
 
 
 def _downsample_idepth(idepth, weight):
@@ -126,9 +174,9 @@ def splat_depth_to_ref(render_depth, render_c2w, ref_c2w, K, H: int, W: int,
 def make_tracker_ref(ref_image, fx, fy, cx, cy, sparse_idepth=None,
                      sparse_weight=None, dense_idepth=None,
                      dense_weight=None) -> CoarseTrackerRef:
-    """Build the per-level reference state from level-0 idepth/weight maps.
-    One jitted call — pyramids, downsampling, and dilation run as a single
-    device program (this runs at keyframe rate and during initialization).
+    """Build the per-level point lists from level-0 idepth/weight maps.
+    One jitted call — pyramids, downsampling, dilation, and compaction run
+    as a single device program (this runs at keyframe rate).
 
     :param ref_image: (H, W) float intensity
     :param sparse_idepth/weight: (H, W) maps from projected active points
@@ -148,22 +196,30 @@ def make_tracker_ref(ref_image, fx, fy, cx, cy, sparse_idepth=None,
 
     pyr = build_pyramid(ref_image, NUM_LEVELS)
     Ks = pyramid_intrinsics(fx, fy, cx, cy, NUM_LEVELS)
+    caps = _level_caps(H, W, dense=dense_idepth is not None)
 
-    images, idepths, valids = [], [], []
+    pu, pv, pid, pcol, pval = [], [], [], [], []
     cur_i, cur_w = idepth0, weight0
     for lvl in range(NUM_LEVELS):
         if lvl > 0:
             cur_i, cur_w = _downsample_idepth(cur_i, cur_w)
             cur_i, cur_w = _dilate_fill(cur_i, cur_w)
-        images.append(pyr[lvl]["img"])
-        idepths.append(cur_i)
-        valids.append(cur_w > 0)
-    return CoarseTrackerRef(images=tuple(images), idepth=tuple(idepths),
-                            valid=tuple(valids), K=tuple(Ks))
+        u, v, idp, col, ok = _compact_level(pyr[lvl]["img"], cur_i, cur_w,
+                                            caps[lvl])
+        pu.append(u)
+        pv.append(v)
+        pid.append(idp)
+        pcol.append(col)
+        pval.append(ok)
+    return CoarseTrackerRef(pu=tuple(pu), pv=tuple(pv), pid=tuple(pid),
+                            pcolor=tuple(pcol), pvalid=tuple(pval),
+                            K=tuple(Ks))
 
 
 def _bilinear_with_grad(img, gx, gy, x, y):
-    """Sample intensity and gradients at float pixel coords (flat arrays)."""
+    """Sample intensity and gradients at float pixel coords. x/y may carry a
+    leading candidate-batch dim; the gather index is folded flat (batched
+    gathers lower to per-element gathers ~30x slower on TPU)."""
     H, W = img.shape
     x0 = jnp.floor(x)
     y0 = jnp.floor(y)
@@ -171,54 +227,59 @@ def _bilinear_with_grad(img, gx, gy, x, y):
     wy = y - y0
     x0i = jnp.clip(x0.astype(jnp.int32), 0, W - 2)
     y0i = jnp.clip(y0.astype(jnp.int32), 0, H - 2)
-    idx = y0i * W + x0i
+    idx = (y0i * W + x0i).reshape(-1)
 
     def samp(a):
         f = a.reshape(-1)
-        v00 = f[idx]
-        v01 = f[idx + 1]
-        v10 = f[idx + W]
-        v11 = f[idx + W + 1]
+        v00 = f[idx].reshape(x.shape)
+        v01 = f[idx + 1].reshape(x.shape)
+        v10 = f[idx + W].reshape(x.shape)
+        v11 = f[idx + W + 1].reshape(x.shape)
         return (v00 * (1 - wx) * (1 - wy) + v01 * wx * (1 - wy)
                 + v10 * (1 - wx) * wy + v11 * wx * wy)
 
     return samp(img), samp(gx), samp(gy)
 
 
-def _level_residuals(T, aff, ref_img, ref_idepth, ref_valid, new_img, new_gx,
-                     new_gy, Klvl):
-    """Residuals + Jacobians for one level. Returns per-pixel arrays."""
+def _level_residuals(T, aff, pts, new_img, new_gx, new_gy, Klvl):
+    """Residuals + Jacobians for one level's point list, batched over B
+    candidate poses.
+
+    :param T: (B, 4, 4); aff: (B, 2)
+    :param pts: (pu, pv, pid, pcolor, pvalid) fixed-size (N,) arrays
+    :return: per-point arrays (r (B,N), J (B,N,8), good (B,N), px, py)
+    """
+    pu, pv, idv, ref_c, msk = pts
     fx, fy, cx, cy = Klvl
-    H, W = ref_img.shape
-    xs = jnp.tile(jnp.arange(W, dtype=jnp.float32), H)
-    ys = jnp.repeat(jnp.arange(H, dtype=jnp.float32), W)
-    idv = ref_idepth.reshape(-1)
-    ref_c = ref_img.reshape(-1)
-    msk = ref_valid.reshape(-1)
+    H, W = new_img.shape
 
     # Normalized camera ray of the ref pixel
-    un = (xs - cx) / fx
-    vn = (ys - cy) / fy
-    R = T[:3, :3]
-    t = T[:3, 3]
-    q = jnp.stack([un, vn, jnp.ones_like(un)], -1) @ R.T + t[None] * idv[:, None]
-    qz = q[:, 2]
-    good = msk & (qz > 1e-6)
+    un = (pu - cx) / fx
+    vn = (pv - cy) / fy
+    ray = jnp.stack([un, vn, jnp.ones_like(un)], -1)          # (N, 3)
+    R = T[:, :3, :3]
+    t = T[:, :3, 3]
+    q = (jnp.einsum("bij,nj->bni", R, ray)
+         + t[:, None, :] * idv[None, :, None])                # (B, N, 3)
+    qz = q[..., 2]
+    good = msk[None] & (qz > 1e-6)
     qz_safe = jnp.where(qz > 1e-6, qz, 1.0)
-    u2 = q[:, 0] / qz_safe
-    v2 = q[:, 1] / qz_safe
+    u2 = q[..., 0] / qz_safe
+    v2 = q[..., 1] / qz_safe
     px = fx * u2 + cx
     py = fy * v2 + cy
     inb = (px > 2) & (px < W - 3) & (py > 2) & (py < H - 3)
     good = good & inb
 
     hit, gx_i, gy_i = _bilinear_with_grad(new_img, new_gx, new_gy, px, py)
-    a, b = aff[0], aff[1]
-    r = hit - (a * ref_c + b)
+    a = aff[:, 0:1]
+    b = aff[:, 1:2]
+    r = hit - (a * ref_c[None] + b)
 
-    idn = idv / qz_safe
+    idn = idv[None] / qz_safe
     dxf = gx_i * fx
     dyf = gy_i * fy
+    refc = jnp.broadcast_to(ref_c[None], r.shape)
     J = jnp.stack([
         idn * dxf,
         idn * dyf,
@@ -226,16 +287,15 @@ def _level_residuals(T, aff, ref_img, ref_idepth, ref_valid, new_img, new_gx,
         -(u2 * v2 * dxf + (1 + v2 * v2) * dyf),
         (1 + u2 * u2) * dxf + u2 * v2 * dyf,
         u2 * dyf - v2 * dxf,
-        -ref_c,
-        -jnp.ones_like(ref_c),
-    ], -1)  # (N, 8)
-    return r, J, good, px, py, xs, ys
+        -refc,
+        -jnp.ones_like(refc),
+    ], -1)  # (B, N, 8)
+    return r, J, good, px, py
 
 
-def _energy_and_system(T, aff, ref_img, ref_idepth, ref_valid, new_img,
-                       new_gx, new_gy, Klvl):
-    r, J, good, *_ = _level_residuals(T, aff, ref_img, ref_idepth, ref_valid,
-                                      new_img, new_gx, new_gy, Klvl)
+def _energy_and_system(T, aff, pts, new_img, new_gx, new_gy, Klvl):
+    r, J, good, *_ = _level_residuals(T, aff, pts, new_img, new_gx, new_gy,
+                                      Klvl)
     absr = jnp.abs(r)
     cut = absr < CUTOFF_TH
     use = good & cut
@@ -243,25 +303,30 @@ def _energy_and_system(T, aff, ref_img, ref_idepth, ref_valid, new_img,
     # DSO energy form: hw * r^2 * (2 - hw); saturated residuals add the max
     e_pix = jnp.where(use, hw * r * r * (2.0 - hw),
                       jnp.where(good, CUTOFF_TH * CUTOFF_TH, 0.0))
-    energy = jnp.sum(e_pix)
-    num = jnp.sum(good.astype(jnp.float32))
+    energy = jnp.sum(e_pix, axis=-1)                          # (B,)
+    num = jnp.sum(good.astype(jnp.float32), axis=-1)          # (B,)
 
     wf = jnp.where(use, hw, 0.0)
     # H = J^T diag(w) J, g = J^T diag(w) r — the 45-value reduction.
-    Jw = J * wf[:, None]
-    Hm = Jw.T @ J
-    g = Jw.T @ r
+    Jw = J * wf[..., None]
+    Hm = jnp.einsum("bni,bnj->bij", Jw, J)                    # (B, 8, 8)
+    g = jnp.einsum("bni,bn->bi", Jw, r)                       # (B, 8)
     return energy, num, Hm, g
 
 
+def _bwhere(cond, a, b):
+    """jnp.where with a (B,)-shaped condition broadcast over trailing dims."""
+    return jnp.where(cond.reshape(cond.shape + (1,) * (a.ndim - 1)), a, b)
+
+
 def _lm_level(T, aff, level_data, max_iter):
-    """LM loop for one level inside jit."""
-    (ref_img, ref_idepth, ref_valid, new_img, new_gx, new_gy, Klvl) = level_data
+    """Batched LM loop for one level inside jit. T: (B,4,4), aff: (B,2)."""
+    (pts, new_img, new_gx, new_gy, Klvl) = level_data
+    B = T.shape[0]
 
     def energy_of(T, aff):
-        e, n, Hm, g = _energy_and_system(T, aff, ref_img, ref_idepth,
-                                         ref_valid, new_img, new_gx, new_gy,
-                                         Klvl)
+        e, n, Hm, g = _energy_and_system(T, aff, pts, new_img, new_gx,
+                                         new_gy, Klvl)
         return e, n, Hm, g
 
     e0, n0, H0, g0 = energy_of(T, aff)
@@ -269,44 +334,45 @@ def _lm_level(T, aff, level_data, max_iter):
     def cond(state):
         it, done, T, aff, lam, *_ = state
         # DSO also exits when lambda explodes (no progress possible)
-        return (it < max_iter) & (~done) & (lam < 1e4)
+        return (it < max_iter) & jnp.any(~done & (lam < 1e4))
 
     def body(state):
         it, done, T, aff, lam, e, n, Hm, g = state
         # Solve (H + lam * diag(H)) dx = -g with light Tikhonov for rank safety
-        Hl = Hm + lam * jnp.diag(jnp.diag(Hm)) + 1e-5 * jnp.eye(8)
-        dx = -solve_gauss_jordan(Hl, g, 8)
-        T_new = se3_exp(dx[:6]) @ T
-        aff_new = aff + dx[6:]
+        diag = jnp.einsum("bii->bi", Hm)
+        Hl = Hm + lam[:, None, None] * (diag[:, :, None] * jnp.eye(8)) \
+            + 1e-5 * jnp.eye(8)
+        dx = -solve_gauss_jordan_batched(Hl, g, 8)
+        T_new = jnp.einsum("bij,bjk->bik", se3_exp(dx[:, :6]), T)
+        aff_new = aff + dx[:, 6:]
         e_new, n_new, H_new, g_new = energy_of(T_new, aff_new)
 
         e_old_n = e / jnp.maximum(n, 1.0)
         e_new_n = e_new / jnp.maximum(n_new, 1.0)
-        accept = e_new_n < e_old_n
+        accept = (e_new_n < e_old_n) & ~done
         # Converged: tiny step, or an accepted step that barely improved the
         # energy (DSO breaks on small relative improvement) — without this,
         # noisy sparse refs burn the full iteration budget.
-        small = (jnp.max(jnp.abs(dx)) < 1e-5) | \
+        small = (jnp.max(jnp.abs(dx), axis=-1) < 1e-5) | \
             (accept & (e_old_n - e_new_n < 1e-4 * jnp.maximum(e_old_n, 1e-6)))
-        return (it + 1, small,
-                jnp.where(accept, T_new, T),
-                jnp.where(accept, aff_new, aff),
-                jnp.where(accept, lam * 0.5, lam * 4.0),
+        return (it + 1, done | small,
+                _bwhere(accept, T_new, T),
+                _bwhere(accept, aff_new, aff),
+                jnp.where(done, lam, jnp.where(accept, lam * 0.5, lam * 4.0)),
                 jnp.where(accept, e_new, e),
                 jnp.where(accept, n_new, n),
-                jax.tree_util.tree_map(
-                    lambda a, b: jnp.where(accept, a, b), H_new, Hm),
-                jnp.where(accept, g_new, g))
+                _bwhere(accept, H_new, Hm),
+                _bwhere(accept, g_new, g))
 
-    state = (jnp.int32(0), jnp.bool_(False), T, aff, jnp.float32(0.01),
-             e0, n0, H0, g0)
+    state = (jnp.int32(0), jnp.zeros(B, bool), T, aff,
+             jnp.full((B,), 0.01, jnp.float32), e0, n0, H0, g0)
     state = lax.while_loop(cond, body, state)
     _, _, T_out, aff_out, _, e, n, _, _ = state
     # A level with too few valid residuals cannot constrain 8 DoF — keep the
     # incoming estimate (sparse maps can starve the coarsest levels).
     enough = n0 >= 32.0
-    T_out = jnp.where(enough, T_out, T)
-    aff_out = jnp.where(enough, aff_out, aff)
+    T_out = _bwhere(enough, T_out, T)
+    aff_out = _bwhere(enough, aff_out, aff)
     return T_out, aff_out, e, n
 
 
@@ -314,7 +380,8 @@ def rotation_perturbations(scale: float = 0.02):
     """The DSO-style retry list: identity + small rotations about each axis
     and their combinations (trackNewCoarse tries ~27 perturbed
     initializations when the motion model fails, FullSystem.cpp:449-529).
-    Returns (N, 4, 4)."""
+    Returns (N, 4, 4). Pure numpy — host-side eager JAX ops whose results are
+    pulled to numpy degrade every subsequent dispatch on remote backends."""
     import numpy as np
     deltas = [np.zeros(3)]
     for axis in range(3):
@@ -327,18 +394,76 @@ def rotation_perturbations(scale: float = 0.02):
             for sz in (1, -1):
                 deltas.append(np.array([sx, sy, sz]) * scale * 0.7)
     out = []
-    for d in deltas:
-        xi = np.concatenate([np.zeros(3), d]).astype(np.float32)
-        out.append(np.asarray(se3_exp(jnp.asarray(xi))))
+    for w in deltas:
+        theta = np.linalg.norm(w)
+        Wm = np.array([[0, -w[2], w[1]], [w[2], 0, -w[0]], [-w[1], w[0], 0]])
+        if theta < 1e-8:
+            R = np.eye(3)
+        else:
+            R = (np.eye(3) + np.sin(theta) / theta * Wm
+                 + (1 - np.cos(theta)) / theta ** 2 * (Wm @ Wm))
+        T = np.eye(4, dtype=np.float32)
+        T[:3, :3] = R.astype(np.float32)
+        out.append(T)
     return np.stack(out)
+
+
+def _track_frame_batched(ref: CoarseTrackerRef, new_image, T_inits,
+                         aff_inits):
+    """Coarse-to-fine photometric LM over B candidate initializations,
+    batched through the whole pyramid (folded gathers; no vmap)."""
+    new_pyr = build_pyramid(new_image, NUM_LEVELS)
+    T, aff = T_inits, aff_inits
+
+    results = {}
+    for lvl in range(NUM_LEVELS - 1, -1, -1):
+        pts = (ref.pu[lvl], ref.pv[lvl], ref.pid[lvl], ref.pcolor[lvl],
+               ref.pvalid[lvl])
+        data = (pts, new_pyr[lvl]["img"], new_pyr[lvl]["gx"],
+                new_pyr[lvl]["gy"], ref.K[lvl])
+        T, aff, e, n = _lm_level(T, aff, data, MAX_ITERS[lvl])
+        if lvl == 0:
+            results["energy"] = e / jnp.maximum(n, 1.0)
+            results["num_terms"] = n
+
+    # Flow indicators at level 0: RMS pixel displacement under full motion and
+    # translation-only motion (CoarseTracker calcRes sumSquaredShift*).
+    lvl = 0
+    pts0 = (ref.pu[lvl], ref.pv[lvl], ref.pid[lvl], ref.pcolor[lvl],
+            ref.pvalid[lvl])
+    r, J, good, px, py = _level_residuals(
+        T, aff, pts0, new_pyr[lvl]["img"], new_pyr[lvl]["gx"],
+        new_pyr[lvl]["gy"], ref.K[lvl])
+    disp2 = (px - ref.pu[lvl][None]) ** 2 + (py - ref.pv[lvl][None]) ** 2
+    T_t = jnp.broadcast_to(jnp.eye(4), T.shape)
+    T_t = T_t.at[:, :3, 3].set(T[:, :3, 3])
+    _, _, good_t, px_t, py_t = _level_residuals(
+        T_t, aff, pts0, new_pyr[lvl]["img"], new_pyr[lvl]["gx"],
+        new_pyr[lvl]["gy"], ref.K[lvl])
+    disp2_t = (px_t - ref.pu[lvl][None]) ** 2 + (py_t - ref.pv[lvl][None]) ** 2
+
+    def rms(d2, m):
+        return jnp.sqrt(
+            jnp.sum(jnp.where(m, d2, 0.0), axis=-1)
+            / jnp.maximum(jnp.sum(m.astype(jnp.float32), axis=-1), 1.0))
+
+    results.update({
+        "T": T, "aff": aff,
+        "valid_frac": (jnp.sum(good.astype(jnp.float32), axis=-1)
+                       / jnp.maximum(jnp.sum(ref.pvalid[0]), 1.0)),
+        "flow": jnp.stack([rms(disp2, good), rms(disp2_t, good_t),
+                           rms(disp2 - disp2_t, good & good_t)], axis=-1),
+    })
+    return results
 
 
 @jax.jit
 def track_frame_multi(ref: CoarseTrackerRef, new_image, T_inits, aff_init):
-    """Try several initializations in parallel (vmapped coarse-to-fine LM)
+    """Try several initializations in parallel (batched coarse-to-fine LM)
     and return the best by level-0 energy."""
-    outs = jax.vmap(lambda T: track_frame(ref, new_image, T, aff_init))(
-        T_inits)
+    B = T_inits.shape[0]
+    affs = jnp.broadcast_to(aff_init[None], (B, 2))
+    outs = _track_frame_batched(ref, new_image, T_inits, affs)
     best = jnp.argmin(jnp.where(jnp.isfinite(outs["energy"]),
                                 outs["energy"], jnp.inf))
     return jax.tree_util.tree_map(lambda x: x[best], outs)
@@ -355,41 +480,6 @@ def track_frame(ref: CoarseTrackerRef, new_image, T_init, aff_init):
         0, 'valid' fraction of usable residuals, 'flow' (3,) flow indicators
         for the keyframe heuristic (FullSystem.cpp:1038-1058)
     """
-    new_pyr = build_pyramid(new_image, NUM_LEVELS)
-    T, aff = T_init, aff_init
-
-    results = {}
-    for lvl in range(NUM_LEVELS - 1, -1, -1):
-        data = (ref.images[lvl], ref.idepth[lvl], ref.valid[lvl],
-                new_pyr[lvl]["img"], new_pyr[lvl]["gx"], new_pyr[lvl]["gy"],
-                ref.K[lvl])
-        T, aff, e, n = _lm_level(T, aff, data, MAX_ITERS[lvl])
-        if lvl == 0:
-            results["energy"] = e / jnp.maximum(n, 1.0)
-            results["num_terms"] = n
-
-    # Flow indicators at level 0: RMS pixel displacement under full motion and
-    # translation-only motion (CoarseTracker calcRes sumSquaredShift*).
-    lvl = 0
-    r, J, good, px, py, xs, ys = _level_residuals(
-        T, aff, ref.images[lvl], ref.idepth[lvl], ref.valid[lvl],
-        new_pyr[lvl]["img"], new_pyr[lvl]["gx"], new_pyr[lvl]["gy"], ref.K[lvl])
-    disp2 = (px - xs) ** 2 + (py - ys) ** 2
-    T_t = jnp.eye(4).at[:3, 3].set(T[:3, 3])
-    _, _, good_t, px_t, py_t, _, _ = _level_residuals(
-        T_t, aff, ref.images[lvl], ref.idepth[lvl], ref.valid[lvl],
-        new_pyr[lvl]["img"], new_pyr[lvl]["gx"], new_pyr[lvl]["gy"], ref.K[lvl])
-    disp2_t = (px_t - xs) ** 2 + (py_t - ys) ** 2
-
-    def rms(d2, m):
-        return jnp.sqrt(jnp.sum(jnp.where(m, d2, 0.0))
-                        / jnp.maximum(jnp.sum(m.astype(jnp.float32)), 1.0))
-
-    results.update({
-        "T": T, "aff": aff,
-        "valid_frac": (jnp.sum(good.astype(jnp.float32))
-                       / jnp.maximum(jnp.sum(ref.valid[0]), 1.0)),
-        "flow": jnp.stack([rms(disp2, good), rms(disp2_t, good_t),
-                           rms(disp2 - disp2_t, good & good_t)]),
-    })
-    return results
+    outs = _track_frame_batched(ref, new_image, T_init[None],
+                                aff_init[None])
+    return jax.tree_util.tree_map(lambda x: x[0], outs)
