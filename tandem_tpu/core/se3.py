@@ -17,6 +17,9 @@ _PREC = lax.Precision.HIGHEST
 def _mm(a, b):
     return jnp.matmul(a, b, precision=_PREC)
 
+# Small-angle switch: in float32, 1-cos(theta) and 1-A/(2B) cancel
+# catastrophically below theta ~ 3e-3; the Taylor branches are MORE accurate
+# there (verified against float64 in test_core).
 _EPS = 1e-8
 
 
@@ -35,7 +38,7 @@ def so3_exp(w):
     """Rodrigues formula with Taylor fallback. w: (..., 3) -> (..., 3, 3)."""
     theta2 = jnp.sum(w * w, axis=-1)
     theta = jnp.sqrt(jnp.maximum(theta2, _EPS))
-    small = theta2 < 1e-8
+    small = theta2 < 1e-5
     A = jnp.where(small, 1.0 - theta2 / 6.0, jnp.sin(theta) / theta)
     B = jnp.where(small, 0.5 - theta2 / 24.0, (1.0 - jnp.cos(theta)) / theta2)
     W = _hat(w)
@@ -49,7 +52,7 @@ def so3_log(R):
     cos_theta = jnp.clip((trace - 1.0) * 0.5, -1.0, 1.0)
     theta = jnp.arccos(cos_theta)
     theta2 = theta * theta
-    small = theta2 < 1e-8
+    small = theta2 < 1e-5
     # w_hat = theta / (2 sin(theta)) * (R - R^T)
     factor = jnp.where(small, 0.5 + theta2 / 12.0,
                        theta / (2.0 * jnp.sin(jnp.where(small, 1.0, theta))))
@@ -63,7 +66,7 @@ def se3_exp(xi):
     v, w = xi[..., :3], xi[..., 3:]
     theta2 = jnp.sum(w * w, axis=-1)
     theta = jnp.sqrt(jnp.maximum(theta2, _EPS))
-    small = theta2 < 1e-8
+    small = theta2 < 1e-5
     A = jnp.where(small, 1.0 - theta2 / 6.0, jnp.sin(theta) / theta)
     B = jnp.where(small, 0.5 - theta2 / 24.0, (1.0 - jnp.cos(theta)) / theta2)
     C = jnp.where(small, 1.0 / 6.0 - theta2 / 120.0, (1.0 - A) / theta2)
@@ -85,7 +88,7 @@ def se3_log(T):
     w = so3_log(R)
     theta2 = jnp.sum(w * w, axis=-1)
     theta = jnp.sqrt(jnp.maximum(theta2, _EPS))
-    small = theta2 < 1e-8
+    small = theta2 < 1e-5
     A = jnp.where(small, 1.0 - theta2 / 6.0, jnp.sin(theta) / theta)
     B = jnp.where(small, 0.5 - theta2 / 24.0, (1.0 - jnp.cos(theta)) / theta2)
     # V^{-1} = I - 1/2 W + (1/theta2)(1 - A/(2B)) W^2

@@ -62,15 +62,19 @@ def extract_mesh(cfg: TsdfConfig, vol: TsdfVolume,
     b = cfg.block_size
 
     verts_out, cols_out = [], []
+    # One D2H of the (jit-output) coord table; numpy slicing after. Slicing
+    # the device array per chunk would be an eager op whose numpy pull
+    # poisons remote dispatch for the process.
+    coords_all = np.asarray(vol.block_coords)
 
     for start in range(0, n_alloc, chunk):
         count = min(chunk, n_alloc - start)
-        slots = jnp.arange(start, start + chunk, dtype=jnp.int32)
+        slots = jnp.asarray(np.arange(start, start + chunk, dtype=np.int32))
         sdf, w, col = _corner_grids(cfg, vol, slots)
         sdf = np.asarray(sdf)[:count]
         w = np.asarray(w)[:count]
         col = np.asarray(col)[:count]
-        coords = np.asarray(vol.block_coords[start:start + count])
+        coords = coords_all[start:start + count]
 
         # Cells: (C, b, b, b, 8) corner values
         cs = np.stack([sdf[:, ox:ox + b, oy:oy + b, oz:oz + b]

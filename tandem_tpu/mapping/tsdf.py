@@ -351,14 +351,24 @@ def render_depth_splat(cfg: TsdfConfig, vol: TsdfVolume, K, cam_to_world,
 
     :return: (H, W) depth, 0 where empty.
     """
-    w2c_R = cam_to_world[:3, :3].T
-    w2c_t = -w2c_R @ cam_to_world[:3, 3]
+    w2c_R, w2c_t, zbuf = _splat_init(cam_to_world, H, W)
     chunk = min(chunk, cfg.pool_size)
-    zbuf = jnp.full((H * W,), jnp.inf)
     n = int(vol.n_allocated) if n_allocated is None else n_allocated
     for start in range(0, max(n, 1), chunk):
         zbuf = _splat_chunk(cfg, zbuf, vol, K, w2c_R, w2c_t, start, chunk,
                             H, W)
+    return _splat_finish(zbuf, H, W, fill_rounds)
+
+
+@partial(jax.jit, static_argnums=(1, 2))
+def _splat_init(cam_to_world, H: int, W: int):
+    w2c_R = cam_to_world[:3, :3].T
+    w2c_t = -w2c_R @ cam_to_world[:3, 3]
+    return w2c_R, w2c_t, jnp.full((H * W,), jnp.inf)
+
+
+@partial(jax.jit, static_argnums=(1, 2, 3))
+def _splat_finish(zbuf, H: int, W: int, fill_rounds: int):
     depth = zbuf.reshape(H, W)
     depth = jnp.where(jnp.isfinite(depth), depth, 0.0)
     return _fill_holes(depth, rounds=fill_rounds)

@@ -28,7 +28,6 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-from ..core.pyramid import build_pyramid
 from ..tracking.ba import (BAState, PATTERN, _bilinear, ba_iterate,
                            create_ba_state, marginalize_frame,
                            remove_outliers)
@@ -58,7 +57,7 @@ class FullSystemOptions:
     num_point_slots: int = 2048
     kf_flow_threshold: float = 1.0    # setting_kfGlobalWeight heuristic
     kf_brightness_threshold: float = 12.0
-    ba_iters: int = 4
+    ba_iters: int = 6                 # setting_maxOptIterations
     immature_cap: int = 512
     selection_threshold_factor: float = 1.0
     init_min_good_frac: float = 0.5
@@ -189,10 +188,9 @@ class FullSystem:
         """Gradient-based candidate selection with DSO-style density
         adaptation: if far too few pixels clear the threshold, relax it and
         retry (PixelSelector2::makeMaps recursion on desired density)."""
-        pyr = build_pyramid(img, 1)
         factor = self.opt.selection_threshold_factor
         for _ in range(4):
-            mask = select_pixels(pyr[0]["abs_grad2"], threshold_factor=factor)
+            mask = _select_mask(img, float(factor))
             if int(np.asarray(mask).sum()) >= self.opt.immature_cap // 4:
                 break
             factor *= 0.4
@@ -261,13 +259,17 @@ class FullSystem:
                                    jnp.asarray(c2w), img, self.K)
         pts = kf.immature
         status = np.asarray(pts.status)
-        widths = np.asarray(pts.id_max - pts.id_min)
+        # numpy arithmetic on downloaded jit outputs (eager device arithmetic
+        # pulled to numpy poisons remote dispatch)
+        id_min = np.asarray(pts.id_min)
+        id_max = np.asarray(pts.id_max)
+        widths = id_max - id_min
         # "narrowed" = the interval has converged at some point, even if the
         # last trace was SKIPPED (tiny baseline) — those points remain usable.
         init_width = 5.0 - 0.05
         narrowed = (widths < 0.5 * init_width) & (status != 3)  # not OUTLIER
         # Refresh the tracker ref with interval-midpoint idepths
-        mid = np.asarray(0.5 * (pts.id_min + pts.id_max))
+        mid = 0.5 * (id_min + id_max)
         uv = np.asarray(pts.uv).astype(int)
         idepth0 = np.zeros((self.H, self.W), np.float32)
         weight0 = np.zeros((self.H, self.W), np.float32)
@@ -351,11 +353,9 @@ class FullSystem:
         slot = int(free[0])
         kf.slot = slot
         self.kf_of_slot[slot] = kf
-        self.slot_images = self.slot_images.at[slot].set(kf.image)
-        self.ba_state = self.ba_state._replace(
-            poses=self.ba_state.poses.at[slot].set(jnp.asarray(kf.c2w)),
-            aff=self.ba_state.aff.at[slot].set(jnp.zeros(2)),
-            frame_valid=self.ba_state.frame_valid.at[slot].set(True))
+        self.ba_state, self.slot_images = _assign_slot_jit(
+            self.ba_state, self.slot_images, slot,
+            jnp.asarray(kf.c2w.astype(np.float32)), kf.image)
 
     def _marginalize_oldest(self):
         active = [kf for kf in self.keyframes if kf.slot is not None]
@@ -368,30 +368,13 @@ class FullSystem:
         victim.slot = None
 
     def _insert_points(self, kf: Keyframe, uv, idepth, ok):
-        """Scatter new points into free BA point slots."""
-        pv = np.asarray(self.ba_state.pt_valid)
-        free = np.nonzero(~pv)[0]
-        sel = np.nonzero(ok)[0]
-        n = min(len(free), len(sel))
-        if n == 0:
-            return
-        free, sel = free[:n], sel[:n]
-        img_np = kf.image
-        u = jnp.asarray(uv[sel, 0:1] + PATTERN[None, :, 0])
-        v = jnp.asarray(uv[sel, 1:2] + PATTERN[None, :, 1])
-        n_sel = u.shape[0]
-        colors = _bilinear(img_np, u.reshape(-1), v.reshape(-1)).reshape(
-            n_sel, 8)
-
-        st = self.ba_state
-        fidx = jnp.asarray(free)
-        self.ba_state = st._replace(
-            pt_frame=st.pt_frame.at[fidx].set(kf.slot),
-            pt_uv=st.pt_uv.at[fidx].set(jnp.asarray(uv[sel])),
-            pt_idepth=st.pt_idepth.at[fidx].set(
-                jnp.asarray(np.maximum(idepth[sel], 1e-3))),
-            pt_color=st.pt_color.at[fidx].set(colors),
-            pt_valid=st.pt_valid.at[fidx].set(True))
+        """Scatter new points into free BA point slots (one jitted call —
+        the former host-side path read pt_valid from an eager update and
+        sampled colors eagerly, both poison for remote dispatch)."""
+        self.ba_state = _insert_points_jit(
+            self.ba_state, kf.slot, jnp.asarray(np.asarray(uv, np.float32)),
+            jnp.asarray(np.asarray(idepth, np.float32)),
+            jnp.asarray(np.asarray(ok, bool)), kf.image)
 
     # ------------------------------------------------------------------
     def _make_keyframe(self, img, frame_id, timestamp, c2w, bgr,
@@ -564,6 +547,65 @@ class FullSystem:
         write_optimization_windows(
             os.path.join(out_dir, "dso_optimization_windows.txt"),
             self.windows)
+
+
+@partial(jax.jit, static_argnums=(1,))
+def _select_mask(img, threshold_factor: float):
+    """Gradient magnitude + adaptive-threshold selection in ONE device
+    program (eager pyramid ops on the host path are slow and, once pulled to
+    numpy, poison remote dispatch)."""
+    gx = jnp.zeros_like(img)
+    gy = jnp.zeros_like(img)
+    gx = gx.at[:, 1:-1].set(0.5 * (img[:, 2:] - img[:, :-2]))
+    gy = gy.at[1:-1, :].set(0.5 * (img[2:, :] - img[:-2, :]))
+    return select_pixels(gx * gx + gy * gy,
+                         threshold_factor=threshold_factor)
+
+
+@jax.jit
+def _assign_slot_jit(state: BAState, slot_images, slot, c2w, image):
+    """Write a keyframe into BA slot ``slot`` (poses, affine, FEJ lin point,
+    image) as one device program."""
+    z2 = jnp.zeros(2)
+    slot_images = slot_images.at[slot].set(image)
+    state = state._replace(
+        poses=state.poses.at[slot].set(c2w),
+        aff=state.aff.at[slot].set(z2),
+        frame_valid=state.frame_valid.at[slot].set(True),
+        # FEJ linearization point for the fresh slot (the prior holds no
+        # information on it yet — rows were zeroed at marginalization)
+        poses_lin=state.poses_lin.at[slot].set(c2w),
+        aff_lin=state.aff_lin.at[slot].set(z2))
+    return state, slot_images
+
+
+@jax.jit
+def _insert_points_jit(state: BAState, slot, uv, idepth, ok, image):
+    """Scatter candidate points into free BA point slots (rank-compaction
+    like _activate_and_insert, colors sampled in-program)."""
+    N = state.pt_valid.shape[0]
+    free = ~state.pt_valid
+    free_rank = jnp.cumsum(free.astype(jnp.int32)) - 1
+    slot_of_rank = jnp.zeros(N, jnp.int32).at[
+        jnp.where(free, free_rank, N)].set(
+        jnp.arange(N, dtype=jnp.int32), mode="drop")
+    n_free = jnp.sum(free.astype(jnp.int32))
+
+    ok_rank = jnp.cumsum(ok.astype(jnp.int32)) - 1
+    use = ok & (ok_rank < n_free)
+    dest = jnp.where(use, slot_of_rank[jnp.clip(ok_rank, 0, N - 1)], N)
+
+    u = uv[:, 0:1] + PATTERN[None, :, 0]
+    v = uv[:, 1:2] + PATTERN[None, :, 1]
+    colors = _bilinear(image, u.reshape(-1), v.reshape(-1)).reshape(-1, 8)
+
+    return state._replace(
+        pt_frame=state.pt_frame.at[dest].set(slot, mode="drop"),
+        pt_uv=state.pt_uv.at[dest].set(uv, mode="drop"),
+        pt_idepth=state.pt_idepth.at[dest].set(
+            jnp.maximum(idepth, 1e-3), mode="drop"),
+        pt_color=state.pt_color.at[dest].set(colors, mode="drop"),
+        pt_valid=state.pt_valid.at[dest].set(True, mode="drop"))
 
 
 @partial(jax.jit, static_argnums=(2, 3, 4))

@@ -36,7 +36,7 @@ import jax.numpy as jnp
 import numpy as np
 from jax import lax
 
-from ..core.se3 import se3_exp, se3_inverse
+from ..core.se3 import se3_exp, se3_inverse, se3_log
 from ..ops.linalg import inv_psd_small, solve_gauss_jordan
 
 # DSO's 8-point residual pattern (tandem/src/util/settings.h staticPattern).
@@ -56,9 +56,13 @@ class BAState(NamedTuple):
     pt_color: jnp.ndarray    # (N, 8) host pattern intensities
     pt_valid: jnp.ndarray    # (N,) bool
     # Marginalization prior over frame parameters (8 per slot): H, b with
-    # energy 0.5 dx^T H dx + b^T dx around the current linearization.
+    # energy 0.5 d^T H d + b^T d where d is the deviation from the FEJ
+    # linearization point (poses_lin, aff_lin) — DSO keeps first-estimate
+    # Jacobians for marginalized information (EnergyFunctional HM/bM).
     Hm: jnp.ndarray          # (F*8, F*8)
     bm: jnp.ndarray          # (F*8,)
+    poses_lin: jnp.ndarray   # (F, 4, 4) FEJ linearization point
+    aff_lin: jnp.ndarray     # (F, 2)
 
 
 def create_ba_state(num_frames: int, num_points: int) -> BAState:
@@ -74,7 +78,75 @@ def create_ba_state(num_frames: int, num_points: int) -> BAState:
         pt_valid=jnp.zeros((N,), jnp.bool_),
         Hm=jnp.zeros((F * 8, F * 8)),
         bm=jnp.zeros((F * 8,)),
+        poses_lin=jnp.broadcast_to(jnp.eye(4), (F, 4, 4)),
+        aff_lin=jnp.zeros((F, 2)),
     )
+
+
+def _prior_delta(state: BAState):
+    """Deviation of the current estimate from the FEJ linearization point in
+    the local increment convention (pose = pose_lin @ exp(-delta)): (F*8,)."""
+    rel = jnp.einsum("fij,fjk->fik", se3_inverse(state.poses_lin),
+                     state.poses)
+    d_pose = -se3_log(rel)                        # (F, 6)
+    d_aff = state.aff - state.aff_lin             # (F, 2)
+    d = jnp.concatenate([d_pose, d_aff], -1)
+    d = jnp.where(state.frame_valid[:, None], d, 0.0)
+    return d.reshape(-1)
+
+
+def gauge_nullspaces(poses, frame_valid):
+    """Gauge-nullspace basis of the window (DSO getNullspaces +
+    EnergyFunctional::orthogonalize, EnergyFunctional.cpp:718): 7 geometric
+    directions (global translation x3, rotation x3, scale) plus 2 global
+    affine shifts — evaluated numerically via the group action so the
+    increment convention (c2w <- c2w exp(-dx)) is matched by construction.
+
+    :return: (F*8, 9) matrix of nullspace columns.
+    """
+    F = poses.shape[0]
+    eps = 1e-4
+    cols = []
+    w2c = se3_inverse(poses)
+
+    def pose_col(g):
+        # dx_f = -log(c2w_f^-1 g c2w_f) / eps for the world transform g
+        rel = jnp.einsum("fij,jk,fkl->fil", w2c, g, poses)
+        d = -se3_log(rel) / eps                   # (F, 6)
+        d = jnp.where(frame_valid[:, None], d, 0.0)
+        return jnp.concatenate([d, jnp.zeros((F, 2))], -1).reshape(-1)
+
+    for k in range(6):
+        xi = jnp.zeros(6).at[k].set(eps)
+        cols.append(pose_col(se3_exp(xi)))
+    # Scale: t <- (1 + eps) t
+    scaled = poses.at[:, :3, 3].multiply(1.0 + eps)
+    rel = jnp.einsum("fij,fjk->fik", w2c, scaled)
+    d = -se3_log(rel) / eps
+    d = jnp.where(frame_valid[:, None], d, 0.0)
+    cols.append(jnp.concatenate([d, jnp.zeros((F, 2))], -1).reshape(-1))
+    # Global affine shifts (a and b act relatively between frames)
+    for j in range(2):
+        da = jnp.zeros((F, 2)).at[:, j].set(1.0)
+        da = jnp.where(frame_valid[:, None], da, 0.0)
+        cols.append(jnp.concatenate([jnp.zeros((F, 6)), da], -1).reshape(-1))
+    return jnp.stack(cols, -1)                    # (F*8, 9)
+
+
+def _orthogonalize_prior(Hm, bm, nullspaces):
+    """Project the marginalization prior onto the complement of the gauge
+    nullspace so no information accumulates along unobservable directions
+    (scale/yaw leak; EnergyFunctional.cpp:718 orthogonalize)."""
+    N = nullspaces
+    NtN = N.T @ N + 1e-8 * jnp.eye(N.shape[1])
+    pinv = inv_psd_small(NtN, N.shape[1])
+    # P = I - N (N^T N)^-1 N^T applied from both sides
+    NP = N @ pinv                                  # (P, 9)
+    bm = bm - NP @ (N.T @ bm)
+    Hm = Hm - NP @ (N.T @ Hm)
+    Hm = Hm - (Hm @ N) @ NP.T
+    Hm = 0.5 * (Hm + Hm.T)
+    return Hm, bm
 
 
 def _bilinear(img, x, y):
@@ -298,10 +370,27 @@ def _assemble(state: BAState, r, Jf, Ji, w):
     return H_ff, b_f, H_pp, H_fp, b_p, energy
 
 
+def _total_energy(state: BAState, images, K):
+    """Residual energy + marginalization-prior energy at the current
+    estimate (the quantity DSO's LM accept/reject compares,
+    FullSystemOptimize.cpp:470-545 + calcMEnergy)."""
+    r, Jf, Ji, w, active = _system_terms(state, images, K)
+    e_res = jnp.sum(w * r * r)
+    d = _prior_delta(state)
+    e_pr = 2.0 * jnp.dot(state.bm, d) + jnp.dot(d, state.Hm @ d)
+    return e_res + e_pr
+
+
 @partial(jax.jit, static_argnums=(3,))
-def ba_iterate(state: BAState, images, K, iters: int = 4,
-               idepth_prior: float = 1e-1, lm_lambda: float = 1e-3):
-    """Run GN/LM iterations of the windowed BA.
+def ba_iterate(state: BAState, images, K, iters: int = 6,
+               idepth_prior: float = 1e-1):
+    """Windowed LM with energy-based accept/reject.
+
+    Parity target: FullSystemOptimize.cpp:470-545 — solve, apply, compare
+    total energy; accept -> lambda x0.25, reject -> revert + lambda x1e2;
+    stop when the step is tiny (canbreak). The marginalization prior enters
+    with first-estimate Jacobians: H stays fixed, b is evaluated as
+    bm + Hm @ delta(x, x_lin) (FEJ).
 
     :param images: (F, H, W); K: (fx, fy, cx, cy) tuple of scalars
     :return: (new_state, energy)
@@ -312,26 +401,35 @@ def ba_iterate(state: BAState, images, K, iters: int = 4,
     # Gauge priors: lock frame 0 (pose+aff); weak idepth prior.
     gauge = jnp.zeros((P,)).at[:8].set(1e8)
 
-    def one_iter(carry, _):
-        state, _ = carry
-        r, Jf, Ji, w, active = _system_terms(state, images, K)
-        H_ff, b_f, H_pp, H_fp, b_p, energy = _assemble(state, r, Jf, Ji, w)
+    e0 = _total_energy(state, images, K)
 
-        H_ff = H_ff + state.Hm + jnp.diag(gauge)
-        b_f = b_f + state.bm
+    def cond(carry):
+        it, done, *_ = carry
+        return (it < iters) & ~done
+
+    def body(carry):
+        it, done, poses, aff, idepth, lam, energy = carry
+        cur = state._replace(poses=poses, aff=aff, pt_idepth=idepth)
+        r, Jf, Ji, w, active = _system_terms(cur, images, K)
+        H_ff, b_f, H_pp, H_fp, b_p, _ = _assemble(cur, r, Jf, Ji, w)
+
+        # FEJ prior: fixed Hm, b transported to the current estimate.
+        d = _prior_delta(cur)
+        H_ff = H_ff + cur.Hm + jnp.diag(gauge)
+        b_f = b_f + cur.bm + cur.Hm @ d
 
         H_pp_safe = H_pp + idepth_prior
         # Schur complement over points
         H_sc = jnp.einsum("np,n,nq->pq", H_fp, 1.0 / H_pp_safe, H_fp)
         b_sc = jnp.einsum("np,n->p", H_fp, b_p / H_pp_safe)
 
-        A = H_ff - H_sc + lm_lambda * jnp.diag(jnp.diag(H_ff)) \
+        A = H_ff - H_sc + lam * jnp.diag(jnp.diag(H_ff)) \
             + 1e-6 * jnp.eye(P)
         rhs = -(b_f - b_sc)
         dx = solve_gauss_jordan(A, rhs, P)                # (P,)
 
         d_id = -(b_p + H_fp @ dx) / H_pp_safe             # (N,)
-        d_id = jnp.where(state.pt_valid, d_id, 0.0)
+        d_id = jnp.where(cur.pt_valid, d_id, 0.0)
 
         # Numerical safety: a degenerate window (e.g. zero active points)
         # must not poison the state with NaNs.
@@ -340,20 +438,34 @@ def ba_iterate(state: BAState, images, K, iters: int = 4,
         d_id = jnp.where(finite, d_id, 0.0)
 
         dxf = dx.reshape(F, 8)
-        upd = state.frame_valid[:, None]
+        upd = cur.frame_valid[:, None]
         new_poses = jnp.einsum(
-            "fij,fjk->fik", state.poses,
+            "fij,fjk->fik", poses,
             se3_exp(-jnp.where(upd, dxf[:, :6], 0.0)))
-        new_aff = state.aff + jnp.where(upd, dxf[:, 6:], 0.0)
-        new_id = jnp.clip(state.pt_idepth + d_id, 1e-4, 1e3)
+        new_aff = aff + jnp.where(upd, dxf[:, 6:], 0.0)
+        new_id = jnp.clip(idepth + d_id, 1e-4, 1e3)
 
-        new_state = state._replace(poses=new_poses, aff=new_aff,
-                                   pt_idepth=new_id)
-        return (new_state, energy), energy
+        cand = state._replace(poses=new_poses, aff=new_aff,
+                              pt_idepth=new_id)
+        e_new = _total_energy(cand, images, K)
+        accept = jnp.isfinite(e_new) & (e_new < energy)
 
-    (state, energy), _ = lax.scan(one_iter, (state, jnp.float32(0.0)),
-                                  None, length=iters)
-    return state, energy
+        # canbreak: accepted step that is already tiny
+        step = jnp.max(jnp.abs(dx))
+        done_new = (accept & (step < 1e-5)) | (~accept & (lam > 1e5))
+        lam_new = jnp.where(accept, jnp.maximum(lam * 0.25, 1e-6),
+                            jnp.minimum(lam * 1e2, 1e7))
+        sel = lambda a, b: jnp.where(accept, a, b)
+        return (it + 1, done_new,
+                sel(new_poses, poses), sel(new_aff, aff),
+                sel(new_id, idepth), lam_new,
+                jnp.where(accept, e_new, energy))
+
+    carry = (jnp.int32(0), jnp.bool_(False), state.poses, state.aff,
+             state.pt_idepth, jnp.float32(1e-3), e0)
+    carry = lax.while_loop(cond, body, carry)
+    _, _, poses, aff, idepth, _, energy = carry
+    return state._replace(poses=poses, aff=aff, pt_idepth=idepth), energy
 
 
 @jax.jit
@@ -399,8 +511,11 @@ def marginalize_frame(state: BAState, images, K, frame_idx):
     H_ff = H_ff - jnp.einsum("np,n,nq->pq", H_fp, 1.0 / H_pp_safe, H_fp)
     b_f = b_f - jnp.einsum("np,n->p", H_fp, b_p / H_pp_safe)
 
+    # Transport the old prior's b to the current estimate (FEJ: Hm fixed,
+    # linearization point moves to the current state below).
+    d_old = _prior_delta(state)
     H = H_ff + state.Hm
-    b = b_f + state.bm
+    b = b_f + state.bm + state.Hm @ d_old
 
     sl = frame_idx * 8
     idx = jnp.arange(P)
@@ -418,8 +533,16 @@ def marginalize_frame(state: BAState, images, K, frame_idx):
     Hm_new = 0.5 * (Hm_new + Hm_new.T)                   # keep symmetric
     bm_new = jnp.where(keep, bm_new, 0.0)
 
+    new_frame_valid = state.frame_valid.at[frame_idx].set(False)
+    # Orthogonalize against the gauge nullspace at the new linearization
+    # point so the prior carries no information along unobservable
+    # directions (EnergyFunctional.cpp:718).
+    ns = gauge_nullspaces(state.poses, new_frame_valid)
+    Hm_new, bm_new = _orthogonalize_prior(Hm_new, bm_new, ns)
+
     drop_pts = state.pt_frame == frame_idx
     return state._replace(
-        frame_valid=state.frame_valid.at[frame_idx].set(False),
+        frame_valid=new_frame_valid,
         pt_valid=state.pt_valid & ~drop_pts,
-        Hm=Hm_new, bm=bm_new)
+        Hm=Hm_new, bm=bm_new,
+        poses_lin=state.poses, aff_lin=state.aff)

@@ -44,8 +44,11 @@ class ImmaturePoints(NamedTuple):
     valid: jnp.ndarray    # (N,) bool
 
 
+@partial(jax.jit, static_argnums=(2, 3))
 def make_immature(uv, host_img, id_min=0.01, id_max=10.0):
-    """Create immature points at integer pixels uv (N, 2) from host image."""
+    """Create immature points at integer pixels uv (N, 2) from host image.
+    Jitted: host-side eager gathers both run slowly and (if their results are
+    pulled to numpy) poison remote-backend dispatch for the whole process."""
     N = uv.shape[0]
     u = uv[:, 0:1] + PATTERN[None, :, 0]
     v = uv[:, 1:2] + PATTERN[None, :, 1]

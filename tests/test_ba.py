@@ -111,3 +111,61 @@ def test_marginalize_frame(rng):
     # BA still runs after marginalization
     state3, energy = ba_iterate(state2, images, K, iters=2)
     assert np.isfinite(float(energy))
+
+
+def test_lm_energy_monotone(rng):
+    """Energy-based accept/reject (FullSystemOptimize.cpp:470-545): the
+    returned energy never exceeds the initial energy, even from a terrible
+    initialization where plain GN steps diverge."""
+    from tandem_tpu.tracking.ba import _total_energy
+
+    state, images, poses_gt, _ = _build_scene(rng, pose_noise=0.15,
+                                              idepth_noise=0.5)
+    e0 = float(_total_energy(state, images, K))
+    state2, e1 = ba_iterate(state, images, K, iters=6)
+    assert np.isfinite(float(e1))
+    assert float(e1) <= e0 + 1e-3, (e0, float(e1))
+
+
+def test_marginalization_prior_gauge_orthogonal(rng):
+    """After marginalization the prior carries no information along the
+    gauge nullspace (EnergyFunctional.cpp:718): Hm @ N ~ 0 and bm . N ~ 0
+    for global translation/rotation/scale/affine directions."""
+    from tandem_tpu.tracking.ba import gauge_nullspaces
+
+    state, images, _, _ = _build_scene(rng)
+    state, _ = ba_iterate(state, images, K, iters=5)
+    state2 = marginalize_frame(state, images, K, 1)
+
+    ns = np.asarray(gauge_nullspaces(state2.poses, state2.frame_valid))
+    Hm = np.asarray(state2.Hm)
+    bm = np.asarray(state2.bm)
+    scale = max(np.abs(Hm).max(), 1e-6)
+    # Residual projection after orthogonalization, relative to prior scale
+    assert np.abs(Hm @ ns).max() < 1e-3 * scale
+    assert np.abs(bm @ ns).max() < 1e-3 * max(np.abs(bm).max(), 1e-6)
+
+
+def test_fej_prior_transport(rng):
+    """FEJ: moving the estimate away from the linearization point changes
+    the prior gradient by Hm @ delta (b-transport), so a window that
+    re-solves after marginalization is pulled back toward the linearization
+    point rather than re-zeroing its gradient (no free drift)."""
+    from tandem_tpu.tracking.ba import _prior_delta, _total_energy
+
+    state, images, _, _ = _build_scene(rng)
+    state, _ = ba_iterate(state, images, K, iters=5)
+    state2 = marginalize_frame(state, images, K, 1)
+    e_at_lin = float(_total_energy(state2, images, K))
+
+    # Perturb frame 2's pose along a NON-gauge direction (relative motion)
+    dx = np.zeros(6, np.float32)
+    dx[0] = 0.02
+    poses = np.asarray(state2.poses).copy()
+    poses[2] = poses[2] @ np.asarray(se3_exp(jnp.asarray(-dx)))
+    state3 = state2._replace(poses=jnp.asarray(poses))
+    d = np.asarray(_prior_delta(state3))
+    assert np.abs(d[16:22]).max() > 1e-3  # delta registered for frame 2
+    e_moved = float(_total_energy(state3, images, K))
+    # The prior + photometric energy increases away from the solution
+    assert e_moved > e_at_lin
