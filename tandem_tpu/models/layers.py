@@ -16,6 +16,7 @@ from typing import Optional, Sequence, Tuple, Union
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 from flax import linen as nn
 
 IntOrTuple = Union[int, Tuple[int, ...]]
@@ -54,6 +55,89 @@ def conv3d_via_2d(x, kernel, stride, padding):
         out = y if out is None else out + y
     Ho, Wo = out.shape[1], out.shape[2]
     return out.reshape(B, D_out, Ho, Wo, O)
+
+
+def _depth_band(kd: int, D_in: int, D_out: int, sd: int, pd: int,
+                transpose: bool) -> np.ndarray:
+    """0/1 selector S (kd, D_in, D_out): which input depth feeds which output
+    depth through tap k. Folding turns the depth axis into a banded channel
+    mixing, so a 3D conv becomes ONE fat 2D conv (see conv3d_folded)."""
+    S = np.zeros((kd, D_in, D_out), np.float32)
+    if not transpose:
+        for do in range(D_out):
+            for k in range(kd):
+                di = sd * do + k - pd
+                if 0 <= di < D_in:
+                    S[k, di, do] = 1.0
+    elif sd == 1:
+        # y[o] = e0 x[o-1] + e1 x[o] + e2 x[o+1] (kernel pre-flipped)
+        for do in range(D_out):
+            for k in range(kd):
+                di = do + k - 1
+                if 0 <= di < D_in:
+                    S[k, di, do] = 1.0
+    else:
+        # sd=2, output_padding=1: y[2i] = e1 x[i]; y[2i+1] = e0 x[i] + e2 x[i+1]
+        for i in range(D_in):
+            S[1, i, 2 * i] = 1.0
+            S[0, i, 2 * i + 1] = 1.0
+            if i + 1 < D_in:
+                S[2, i + 1, 2 * i + 1] = 1.0
+    return S
+
+
+def _fold_depth_kernel(kernel, S):
+    """(kd, kh, kw, I, O) x (kd, D_in, D_out) -> (kh, kw, D_in*I, D_out*O)."""
+    kd, kh, kw, I, O = kernel.shape
+    _, D_in, D_out = S.shape
+    big = jnp.einsum("kxyio,kde->xydieo", kernel, jnp.asarray(S, kernel.dtype))
+    return big.reshape(kh, kw, D_in * I, D_out * O)
+
+
+def conv3d_folded(x, kernel, stride, padding):
+    """Exact 3D convolution as ONE 2D convolution with the depth axis folded
+    into channels (block-banded weights).
+
+    The per-tap decomposition (conv3d_via_2d) fixed XLA's 3D-conv lowering
+    but still issues kd convs with tiny channel counts (C=8-32) that run far
+    below the MXU roof and are launch/bandwidth bound. Folding gives channel
+    widths D*C (64-384 across CostRegNet's levels) — the banded zeros waste
+    FLOPs the MXU has to spare, and the conv count drops to one.
+
+    :param x: (B, D, H, W, I); kernel: (kd, kh, kw, I, O)
+    """
+    B, D, H, W, I = x.shape
+    kd, kh, kw, _, O = kernel.shape
+    sd, sh, sw = stride
+    pd, ph, pw = padding
+    D_out = (D + 2 * pd - kd) // sd + 1
+    big = _fold_depth_kernel(kernel, _depth_band(kd, D, D_out, sd, pd,
+                                                 transpose=False))
+    xf = x.transpose(0, 2, 3, 1, 4).reshape(B, H, W, D * I)
+    y = jax.lax.conv_general_dilated(
+        xf, big, window_strides=(sh, sw), padding=[(ph, ph), (pw, pw)],
+        dimension_numbers=("NHWC", "HWIO", "NHWC"))
+    Ho, Wo = y.shape[1], y.shape[2]
+    return y.reshape(B, Ho, Wo, D_out, O).transpose(0, 3, 1, 2, 4)
+
+
+def deconv3d_folded(x, kernel, stride, padding, output_padding):
+    """Exact 3D transposed convolution as one 2D transposed conv with the
+    depth axis folded into banded channels (see conv3d_folded; kernel is
+    stored pre-flipped, depth included, like deconv3d_via_2d)."""
+    B, D, H, W, I = x.shape
+    kd, kh, kw, _, O = kernel.shape
+    sd, sh, sw = stride
+    pd, ph, pw = padding
+    od, oh, ow = output_padding
+    assert kd == 3 and pd == 1, "CostRegNet deconv configuration"
+    D_out = D if sd == 1 else 2 * D
+    big = _fold_depth_kernel(kernel, _depth_band(kd, D, D_out, sd, pd,
+                                                 transpose=True))
+    xf = x.transpose(0, 2, 3, 1, 4).reshape(B, H, W, D * I)
+    y = _deconv2d(xf, big, (sh, sw), (ph, pw), (oh, ow))
+    Ho, Wo = y.shape[1], y.shape[2]
+    return y.reshape(B, Ho, Wo, D_out, O).transpose(0, 3, 1, 2, 4)
 
 
 def _deconv2d(x, kernel, stride_hw, pad_hw, outpad_hw):
@@ -149,8 +233,8 @@ class ConvBnRelu(nn.Module):
             in_feat = x.shape[-1]
             kernel, bias = _ConvParams(k + (in_feat, self.features),
                                        not use_norm, name="conv")()
-            x = conv3d_via_2d(x.astype(self.dtype), kernel.astype(self.dtype),
-                              s, p)
+            x = conv3d_folded(x.astype(self.dtype),
+                              kernel.astype(self.dtype), s, p)
             if bias is not None:
                 x = x + bias
         else:
@@ -219,7 +303,7 @@ class DeconvBnRelu(nn.Module):
             nn.initializers.variance_scaling(1.0 / 3.0, "fan_in", "uniform"),
             k + (in_feat, self.features))
         if n == 3:
-            y = deconv3d_via_2d(x.astype(self.dtype),
+            y = deconv3d_folded(x.astype(self.dtype),
                                 kernel.astype(self.dtype), s, p, op)
         else:
             pad = [(k[i] - 1 - p[i], k[i] - 1 - p[i] + op[i])

@@ -5,6 +5,14 @@ align_corners=True) semantics, which the reference plane-sweep warp depends on
 (cva_mvsnet/models/module.py:871-873 and the comment block :782-789).
 
 Layout is NHWC (TPU-native); the channel axis rides the 128-lane dimension.
+
+TPU gather cost scales with the NUMBER of gathered rows, not their width, so
+the four bilinear corners are packed side by side into one (H+1, W+1, 4*C)
+table (built from a zero-padded copy) and fetched with ONE wide-row gather —
+measured ~10x faster than four per-corner gathers at plane-sweep shapes.
+The 1-pixel zero pad reproduces padding_mode='zeros' for corners that fall
+just outside; samples whose floor cell lies entirely outside the padded
+range are masked to zero.
 """
 
 from __future__ import annotations
@@ -13,19 +21,17 @@ import jax
 import jax.numpy as jnp
 
 
-def _gather_2d(img_flat, idx, B):
-    """img_flat: (B, H*W, C); idx: (B, N) int32 -> (B, N, C).
+def _pack_corners(img):
+    """(B, H, W, C) -> (B, H+1, W+1, 4C) zero-padded corner table.
 
-    The batch dim is folded into the row index so XLA sees ONE un-batched
-    row gather with a full C-row slice — the fast TPU gather form. Both
-    batched gathers (vmap) and broadcast-index take_along_axis lower to
-    per-element or per-batch gathers that are ~30x slower here.
+    Row (y, x) holds [v(y,x), v(y,x+1), v(y+1,x), v(y+1,x+1)] of the padded
+    image, so base index (y0+1, x0+1) yields all four corners of the cell
+    whose top-left is (y0, x0) in original coordinates, for y0, x0 in
+    [-1, H-1] x [-1, W-1].
     """
-    _, HW, C = img_flat.shape
-    flat = img_flat.reshape(B * HW, C)
-    offs = (jnp.arange(B, dtype=idx.dtype) * HW)[:, None]
-    out = flat[(idx + offs).reshape(-1)]
-    return out.reshape(B, -1, C)
+    p = jnp.pad(img, ((0, 0), (1, 1), (1, 1), (0, 0)))
+    return jnp.concatenate([p[:, :-1, :-1], p[:, :-1, 1:],
+                            p[:, 1:, :-1], p[:, 1:, 1:]], -1)
 
 
 def bilinear_sample_pixel(img, x, y):
@@ -48,19 +54,22 @@ def bilinear_sample_pixel(img, x, y):
     wx0 = 1.0 - wx1
     wy0 = 1.0 - wy1
 
-    img_flat = img.reshape(B, H * W, C)
+    # Weight layout matches _pack_corners' corner order.
+    wts = jnp.stack([wx0 * wy0, wx1 * wy0, wx0 * wy1, wx1 * wy1], -1)
+    # Cells whose base lies beyond the 1-pixel pad have every corner outside
+    # the image: result is exactly zero (per-corner zeros padding).
+    inside = ((x0 >= -1) & (x0 <= W - 1) & (y0 >= -1) & (y0 <= H - 1))
+    wts = (wts * inside[..., None].astype(jnp.float32)).astype(dtype)
 
-    def corner(ix, iy, w):
-        valid = (ix >= 0) & (ix <= W - 1) & (iy >= 0) & (iy <= H - 1)
-        ixc = jnp.clip(ix, 0, W - 1).astype(jnp.int32)
-        iyc = jnp.clip(iy, 0, H - 1).astype(jnp.int32)
-        v = _gather_2d(img_flat, iyc * W + ixc, B)
-        w = (w * valid.astype(jnp.float32)).astype(dtype)
-        return v * w[..., None]
+    xi = jnp.clip(x0, -1, W - 1).astype(jnp.int32) + 1   # [0, W]
+    yi = jnp.clip(y0, -1, H - 1).astype(jnp.int32) + 1   # [0, H]
 
-    out = (corner(x0, y0, wx0 * wy0) + corner(x0 + 1, y0, wx1 * wy0)
-           + corner(x0, y0 + 1, wx0 * wy1) + corner(x0 + 1, y0 + 1, wx1 * wy1))
-    return out
+    packed = _pack_corners(img).reshape(B * (H + 1) * (W + 1), 4 * C)
+    # Fold the batch into the row index: ONE un-batched wide-row gather.
+    offs = (jnp.arange(B, dtype=jnp.int32) * ((H + 1) * (W + 1)))[:, None]
+    rows = packed[(yi * (W + 1) + xi + offs).reshape(-1)]
+    v = rows.reshape(B, -1, 4, C)
+    return jnp.einsum("bnkc,bnk->bnc", v, wts.reshape(B, -1, 4))
 
 
 def grid_sample_bilinear(img, grid):

@@ -150,6 +150,9 @@ def _orthogonalize_prior(Hm, bm, nullspaces):
 
 
 def _bilinear(img, x, y):
+    """Bilinear sample with the four corners packed into one gather row
+    (TPU gather cost scales with row count, not width). Repeated calls on
+    the same image inside one jit share the packed table via CSE."""
     H, W = img.shape
     x0 = jnp.floor(x)
     y0 = jnp.floor(y)
@@ -157,10 +160,12 @@ def _bilinear(img, x, y):
     wy = y - y0
     xi = jnp.clip(x0.astype(jnp.int32), 0, W - 2)
     yi = jnp.clip(y0.astype(jnp.int32), 0, H - 2)
-    f = img.reshape(-1)
-    i = yi * W + xi
-    return (f[i] * (1 - wx) * (1 - wy) + f[i + 1] * wx * (1 - wy)
-            + f[i + W] * (1 - wx) * wy + f[i + W + 1] * wx * wy)
+    packed = jnp.stack([img[:-1, :-1], img[:-1, 1:],
+                        img[1:, :-1], img[1:, 1:]], -1)   # (H-1, W-1, 4)
+    rows = packed.reshape(-1, 4)[yi * (W - 1) + xi]
+    w = jnp.stack([(1 - wx) * (1 - wy), wx * (1 - wy),
+                   (1 - wx) * wy, wx * wy], -1)
+    return jnp.sum(rows * w, -1)
 
 
 def _residual_one(dx_h, dx_t, id_n, pose_h, pose_t, aff_h, aff_t, uv, colors,
@@ -210,27 +215,29 @@ def _image_gradients(images):
 
 def _flat_trilerp(stacked, px, py, f_idx, H, W):
     """Bilinear-sample (F, H, W, C) ``stacked`` at (px, py) in frame f_idx
-    for ALL samples with ONE un-batched wide-row gather (frame folded into
-    the row index — batched/tiny gathers are the TPU killer)."""
+    for ALL samples with ONE un-batched wide-row gather: the four bilinear
+    corners are packed side by side into (F, H-1, W-1, 4C) rows (TPU gather
+    cost scales with row count, not width — one 4C-row gather is ~10x faster
+    than four C-row gathers), and the frame is folded into the row index
+    (batched/tiny gathers are the TPU killer). Callers mask samples near the
+    border, so the index clip never changes a used value."""
     C = stacked.shape[-1]
-    flat = stacked.reshape(-1, C)          # (F*H*W, C)
+    packed = jnp.concatenate(
+        [stacked[:, :-1, :-1], stacked[:, :-1, 1:],
+         stacked[:, 1:, :-1], stacked[:, 1:, 1:]], -1)  # (F, H-1, W-1, 4C)
+    flat = packed.reshape(-1, 4 * C)
     x0 = jnp.floor(px)
     y0 = jnp.floor(py)
     wx = px - x0
     wy = py - y0
     xi = jnp.clip(x0.astype(jnp.int32), 0, W - 2)
     yi = jnp.clip(y0.astype(jnp.int32), 0, H - 2)
-    base = f_idx * (H * W) + yi * W + xi
+    base = (f_idx * (H - 1) + yi) * (W - 1) + xi
     sh = base.shape
-    b = base.reshape(-1)
-    v00 = flat[b]
-    v01 = flat[b + 1]
-    v10 = flat[b + W]
-    v11 = flat[b + W + 1]
-    wxf = wx.reshape(-1)[:, None]
-    wyf = wy.reshape(-1)[:, None]
-    out = (v00 * (1 - wxf) * (1 - wyf) + v01 * wxf * (1 - wyf)
-           + v10 * (1 - wxf) * wyf + v11 * wxf * wyf)
+    rows = flat[base.reshape(-1)].reshape(-1, 4, C)
+    w = jnp.stack([(1 - wx) * (1 - wy), wx * (1 - wy),
+                   (1 - wx) * wy, wx * wy], -1).reshape(-1, 4)
+    out = jnp.einsum("mkc,mk->mc", rows, w)
     return out.reshape(sh + (C,))
 
 

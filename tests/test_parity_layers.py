@@ -101,3 +101,31 @@ def test_edge_filter_zeroes_strongest_edges(rng):
     assert (frac < 0.15).all()
     assert (out[mask] == 0).all()
     assert np.allclose(out[~mask], depth[~mask])
+
+
+def test_conv3d_folded_matches_per_tap(rng):
+    """conv3d_folded / deconv3d_folded (one fat banded 2D conv) must be
+    algebraically identical to the per-tap decomposition."""
+    import jax.numpy as jnp
+    from tandem_tpu.models.layers import (conv3d_folded, conv3d_via_2d,
+                                          deconv3d_folded, deconv3d_via_2d)
+
+    cases = [(8, 8, 8, (1, 1, 1), (1, 1, 1)),
+             (8, 8, 16, (2, 2, 2), (1, 1, 1)),
+             (4, 16, 32, (1, 2, 2), (1, 1, 1))]
+    for D, I, O, s, p in cases:
+        x = jnp.asarray(rng.rand(2, D, 12, 16, I).astype(np.float32))
+        k = jnp.asarray(rng.rand(3, 3, 3, I, O).astype(np.float32) - 0.5)
+        a = np.asarray(conv3d_via_2d(x, k, s, p))
+        b = np.asarray(conv3d_folded(x, k, s, p))
+        np.testing.assert_allclose(b, a, rtol=1e-4, atol=1e-4)
+
+    dcases = [(4, 16, 8, (2, 2, 2), (1, 1, 1)),
+              (8, 8, 8, (1, 1, 1), (0, 0, 0)),
+              (4, 16, 8, (1, 2, 2), (0, 1, 1))]
+    for D, I, O, s, op in dcases:
+        x = jnp.asarray(rng.rand(2, D, 12, 16, I).astype(np.float32))
+        k = jnp.asarray(rng.rand(3, 3, 3, I, O).astype(np.float32) - 0.5)
+        a = np.asarray(deconv3d_via_2d(x, k, s, (1, 1, 1), op))
+        b = np.asarray(deconv3d_folded(x, k, s, (1, 1, 1), op))
+        np.testing.assert_allclose(b, a, rtol=1e-4, atol=1e-4)
