@@ -8,11 +8,6 @@ FullSystem.cpp:1122-1198). Host-side orchestration in Python; every hot step
 fixed-shape device computation.
 
 Simplifications vs DSO (documented for later parity work):
-- Monocular initialization alternates coarse tracking (fixed depth) and
-  epipolar tracing (fixed pose) instead of CoarseInitializer's joint
-  multi-level optimization (CoarseInitializer.h:79).
-- Frame marginalization policy: drop the oldest keyframe when the window is
-  full (DSO also drops low-visibility frames, FullSystemMarginalize.cpp).
 - In TANDEM mode, keyframe points can be seeded directly from the MVSNet
   depth map (the reference seeds immature points from gtDepth in RGB-D mode,
   FullSystem makeNewTraces; MVS depth plays that role here).
@@ -35,6 +30,7 @@ from ..tracking.coarse_tracker import (make_tracker_ref, splat_depth_to_ref,
                                        track_frame)
 from ..tracking.immature import (ImmaturePoints, activate_points,
                                  make_immature, trace_points, STATUS_GOOD)
+from ..tracking.initializer import initializer_track, make_initializer
 from ..tracking.point_selection import select_pixels
 from ..utils.timer import Timer
 from .io import write_poses_mat, write_result_tum
@@ -76,7 +72,10 @@ class Keyframe:
         self.image = image          # jnp (H, W)
         self.c2w = np.asarray(c2w)
         self.slot: Optional[int] = None
+        self.kf_id: int = -1        # keyframe index (DSO FrameHessian::frameID)
         self.immature: Optional[ImmaturePoints] = None
+        self.n_immature: int = 0    # host count at creation (padding excluded)
+        self.n_points_total: int = 0  # BA points ever inserted for this KF
         self.bgr: Optional[np.ndarray] = None
         self.sensor_depth: Optional[np.ndarray] = None  # RGB-D mode
 
@@ -114,6 +113,7 @@ class FullSystem:
         self.is_lost = False
         self.init_failed = False
         self.init_frames = 0
+        self.init_state = None            # CoarseInitializer state
         self._last_energy: Optional[float] = None
         self.windows: List[List[int]] = []
 
@@ -140,9 +140,13 @@ class FullSystem:
 
         tid = self.timer.start_timing("track_frame")
         T_init = self._motion_model()
+        # RGB-D mode tracks with dvo's Student-t robust weighting
+        # (trackNewestCoarseDense -> dvo::DenseTracker::match,
+        # weight_calculation.cpp:470); monocular uses DSO's Huber+cutoff.
         out = jax.device_get(track_frame(
             self.tracker_ref, img, jnp.asarray(T_init),
-            jnp.array([1.0, 0.0])))  # one bundled device->host transfer
+            jnp.array([1.0, 0.0]),
+            self.opt.rgbd))  # one bundled device->host transfer
         energy = float(out["energy"])
 
         # Multi-hypothesis re-tracking when the motion model fails
@@ -158,7 +162,8 @@ class FullSystem:
             T_cands = jnp.asarray(
                 np.einsum("nij,jk->nik", perts, T_init).astype(np.float32))
             out = jax.device_get(track_frame_multi(
-                self.tracker_ref, img, T_cands, jnp.array([1.0, 0.0])))
+                self.tracker_ref, img, T_cands, jnp.array([1.0, 0.0]),
+                self.opt.rgbd))
             energy = float(out["energy"])
         self.timer.end_timing("track_frame", tid)
 
@@ -202,6 +207,7 @@ class FullSystem:
         frame 0 (CoarseRGBDInitializer, FullSystem.cpp:1000-1013)."""
         kf = Keyframe(frame_id, timestamp, img, np.eye(4, dtype=np.float32))
         kf.bgr = bgr
+        kf.kf_id = 0
         kf.sensor_depth = np.asarray(depth, np.float32)
         self.keyframes.append(kf)
         self.ref_kf = kf
@@ -221,84 +227,66 @@ class FullSystem:
             img, *self.K, sparse_idepth=jnp.asarray(idepth0),
             sparse_weight=jnp.asarray(valid.astype(np.float32)))
         kf.immature = make_immature(jnp.asarray(uv), img)
+        kf.n_immature = min(int(mask.sum()), self.opt.immature_cap)
         self.initialized = True
 
     def _first_frame(self, img, frame_id, timestamp, bgr):
         kf = Keyframe(frame_id, timestamp, img, np.eye(4, dtype=np.float32))
         kf.bgr = bgr
-        mask = self._select_candidates(img)
-        uv = self._mask_to_uv(mask, self.opt.immature_cap)
-        kf.immature = make_immature(jnp.asarray(uv), img,
-                                    id_min=0.05, id_max=5.0)
+        kf.kf_id = 0
         self.keyframes.append(kf)
         self.ref_kf = kf
         self._record_pose(frame_id, timestamp, kf.c2w)
-        # Tracker ref with flat idepth prior (scale-free bootstrap)
-        idepth0 = np.zeros((self.H, self.W), np.float32)
-        weight0 = np.zeros((self.H, self.W), np.float32)
-        sel = mask
-        idepth0[sel] = 1.0
-        weight0[sel] = 1.0
-        self.tracker_ref = make_tracker_ref(
-            img, *self.K, sparse_idepth=jnp.asarray(idepth0),
-            sparse_weight=jnp.asarray(weight0))
+        # DSO-grade joint initializer (CoarseInitializer::setFirst)
+        self.init_state = make_initializer(img, *self.K)
 
     def _initializer_step(self, img, frame_id, timestamp, bgr):
-        """Alternate track (fixed depth) / trace (fixed pose) until the
-        immature intervals converge, then promote to an initialized map."""
+        """Joint multi-level pose + per-point idepth LM until "snapped" and
+        stable for 5 frames (CoarseInitializer::trackFrame,
+        initializeFromInitializer, FullSystem.cpp:1436-1525)."""
         kf = self.keyframes[0]
         self.init_frames += 1
-        T_init = self._motion_model()
-        out = track_frame(self.tracker_ref, img, jnp.asarray(T_init),
-                          jnp.array([1.0, 0.0]))
-        T = np.asarray(out["T"])
-        c2w = kf.c2w @ _np_rigid_inverse(T)
+        self.init_state, done = initializer_track(
+            self.init_state, img, *self.K, (self.H, self.W))
+        st = self.init_state
+
+        # Scale-normalized pose estimate for the trajectory record (DSO
+        # marks in-init poses invalid; we record the current estimate with
+        # the running rescale so the pre/post-init trajectory is coherent).
+        iR0, good0, valid0, T, done_np = jax.device_get(
+            (st.iR[0], st.is_good[0], st.pvalid[0], st.T, done))
+        use = good0 & valid0
+        mean_iR = float(iR0[use].mean()) if use.any() else 1.0
+        rescale = 1.0 / max(mean_iR, 1e-5)
+        T_scaled = np.asarray(T, np.float32).copy()
+        T_scaled[:3, 3] /= rescale
+        c2w = kf.c2w @ _np_rigid_inverse(T_scaled)
         self._record_pose(frame_id, timestamp, c2w)
 
-        kf.immature = trace_points(kf.immature, jnp.asarray(kf.c2w),
-                                   jnp.asarray(c2w), img, self.K)
-        pts = kf.immature
-        status = np.asarray(pts.status)
-        # numpy arithmetic on downloaded jit outputs (eager device arithmetic
-        # pulled to numpy poisons remote dispatch)
-        id_min = np.asarray(pts.id_min)
-        id_max = np.asarray(pts.id_max)
-        widths = id_max - id_min
-        # "narrowed" = the interval has converged at some point, even if the
-        # last trace was SKIPPED (tiny baseline) — those points remain usable.
-        init_width = 5.0 - 0.05
-        narrowed = (widths < 0.5 * init_width) & (status != 3)  # not OUTLIER
-        # Refresh the tracker ref with interval-midpoint idepths
-        mid = 0.5 * (id_min + id_max)
-        uv = np.asarray(pts.uv).astype(int)
-        idepth0 = np.zeros((self.H, self.W), np.float32)
-        weight0 = np.zeros((self.H, self.W), np.float32)
-        sel = narrowed
-        idepth0[uv[sel, 1], uv[sel, 0]] = mid[sel]
-        weight0[uv[sel, 1], uv[sel, 0]] = 1.0
-        if sel.any():
-            self.tracker_ref = make_tracker_ref(
-                kf.image, *self.K, sparse_idepth=jnp.asarray(idepth0),
-                sparse_weight=jnp.asarray(weight0))
+        if bool(done_np):
+            # initializeFromInitializer: idepth = iR * rescale (mean -> 1),
+            # translation /= rescale; level-0 points become active BA points.
+            pu, pv = jax.device_get((st.pu[0], st.pv[0]))
+            uv = np.stack([pu, pv], -1).astype(np.float32)
+            idep = iR0 * rescale
+            ok = use & (idep > 1e-4)
+            cap = self.ba_state.pt_uv.shape[0] // 2
+            if int(ok.sum()) > cap:
+                # even sub-selection (setting_desiredPointDensity keep)
+                ranks = np.cumsum(ok) - 1
+                ok = ok & (ranks % max(int(ok.sum()) // cap + 1, 1) == 0)
+            self._assign_slot(kf)
+            self._insert_points(kf, uv, idep.astype(np.float32), ok)
+            self._make_keyframe(img, frame_id, timestamp, c2w, bgr,
+                                from_init=True)
+            self.initialized = True
+            return
 
         if self.init_frames > 40:
             # Initialization failure -> auto-reset by the caller
             # (initFailed semantics, FullSystem.cpp:1351-1364 +
             # main_tandem_pangolin.cpp:237-255 destroy/recreate loop).
             self.init_failed = True
-            return
-
-        if (narrowed.mean() > self.opt.init_min_good_frac
-                and np.median(widths[narrowed]) < self.opt.init_max_width
-                and self.init_frames >= 3):
-            idep, ok = activate_points(pts, jnp.asarray(kf.c2w),
-                                       jnp.asarray(c2w), img, self.K)
-            self._assign_slot(kf)
-            self._insert_points(kf, np.asarray(pts.uv), np.asarray(idep),
-                                np.asarray(ok))
-            self._make_keyframe(img, frame_id, timestamp, c2w, bgr,
-                                from_init=True)
-            self.initialized = True
 
     # ------------------------------------------------------------------
     def _motion_model(self) -> np.ndarray:
@@ -360,17 +348,89 @@ class FullSystem:
     def _marginalize_oldest(self):
         active = [kf for kf in self.keyframes if kf.slot is not None]
         active.sort(key=lambda k: k.frame_id)
-        victim = active[0]
+        self._marginalize_kf(active[0])
+
+    def _marginalize_kf(self, victim: Keyframe):
         self.ba_state = marginalize_frame(
             self.ba_state, self.slot_images, self.K,
             victim.slot)
         self.kf_of_slot[victim.slot] = None
         victim.slot = None
 
+    def _flag_frames_for_marginalization(self) -> List[Keyframe]:
+        """DSO's frame-selection policy (flagFramesForMarginalization,
+        FullSystemMarginalize.cpp:56-119), evaluated BEFORE the new keyframe
+        joins the window; flagged frames still take part in the final BA and
+        are marginalized afterwards (makeKeyFrame order, FullSystem.cpp).
+
+        (a) Flag frames whose surviving-point fraction fell below
+            setting_minPointsRemaining (5%) or whose exposure-affine gain vs
+            the newest frame exceeds e^setting_maxLogAffFacInWindow, keeping
+            at least setting_minFrames frames.
+        (b) If the window would still be >= max_keyframes: flag the frame
+            with the smallest score
+                -sqrt(d(f, latest)) * sum_{t != latest} 1 / (1e-5 + d(f, t))
+            i.e. drop a redundant frame (close to the others) that is far
+            from the newest; spatially isolated anchors survive. The first
+            keyframe is exempt from (b) (fh->frameID == 0 skip).
+        """
+        active = sorted((k for k in self.keyframes if k.slot is not None),
+                        key=lambda k: k.kf_id)
+        if len(active) < 2:
+            return []
+        latest = active[-1]
+        min_frames = 5                       # setting_minFrames
+        min_frame_age = 1                    # setting_minFrameAge
+
+        # One bundled device->host fetch for the window statistics.
+        pt_valid, pt_frame, aff = jax.device_get(
+            (self.ba_state.pt_valid, self.ba_state.pt_frame,
+             self.ba_state.aff))
+        valid_per_slot = np.bincount(pt_frame[pt_valid],
+                                     minlength=len(self.kf_of_slot))
+
+        flagged: List[Keyframe] = []
+        for kf in active:
+            n_in = int(valid_per_slot[kf.slot]) + kf.n_immature
+            n_total = max(kf.n_points_total + kf.n_immature, 1)
+            log_aff = abs(float(aff[latest.slot, 0] - aff[kf.slot, 0]))
+            if ((n_in < 0.05 * n_total or log_aff > 0.7)
+                    and len(active) - len(flagged) > min_frames):
+                flagged.append(kf)
+
+        if len(active) - len(flagged) >= self.opt.max_keyframes:
+            centers = {k.kf_id: k.c2w[:3, 3] for k in active}
+            c_latest = centers[latest.kf_id]
+            best, smallest = None, 1.0       # real scores are <= 0
+            for kf in active:
+                if (kf.kf_id > latest.kf_id - min_frame_age
+                        or kf.kf_id == 0 or kf in flagged):
+                    continue
+                dist_score = 0.0
+                for other in active:
+                    if other.kf_id > latest.kf_id - min_frame_age + 1 \
+                            or other is kf:
+                        continue
+                    d = np.linalg.norm(centers[kf.kf_id]
+                                       - centers[other.kf_id])
+                    dist_score += 1.0 / (1e-5 + d)
+                dist_score *= -np.sqrt(
+                    np.linalg.norm(centers[kf.kf_id] - c_latest))
+                if dist_score < smallest:
+                    smallest, best = dist_score, kf
+            if best is None:                 # window of {first KF, latest}
+                cands = [k for k in active if k not in flagged
+                         and k is not latest]
+                best = cands[0] if cands else None
+            if best is not None:
+                flagged.append(best)
+        return flagged
+
     def _insert_points(self, kf: Keyframe, uv, idepth, ok):
         """Scatter new points into free BA point slots (one jitted call —
         the former host-side path read pt_valid from an eager update and
         sampled colors eagerly, both poison for remote dispatch)."""
+        kf.n_points_total += int(np.asarray(ok).sum())
         self.ba_state = _insert_points_jit(
             self.ba_state, kf.slot, jnp.asarray(np.asarray(uv, np.float32)),
             jnp.asarray(np.asarray(idepth, np.float32)),
@@ -382,8 +442,13 @@ class FullSystem:
         tid = self.timer.start_timing("make_keyframe")
         kf = Keyframe(frame_id, timestamp, img, c2w)
         kf.bgr = bgr
+        kf.kf_id = len(self.keyframes)
         if self.opt.rgbd and getattr(self, "_current_depth", None) is not None:
             kf.sensor_depth = np.asarray(self._current_depth, np.float32)
+        # Marginalization selection runs BEFORE the new KF joins the window
+        # (flagFramesForMarginalization(fh), FullSystem.cpp makeKeyFrame);
+        # flagged frames still participate in the BA below.
+        flagged = [] if from_init else self._flag_frames_for_marginalization()
         self.keyframes.append(kf)
         self._assign_slot(kf)
 
@@ -440,6 +505,7 @@ class FullSystem:
         uv = self._mask_to_uv(mask, self.opt.immature_cap)
         kf.immature = make_immature(jnp.asarray(uv), img, id_min=0.05,
                                     id_max=5.0)
+        kf.n_immature = min(int(mask.sum()), self.opt.immature_cap)
 
         self.timer.end_timing("kf_select", t_sel)
         # Record the optimization window (dso_optimization_windows format)
@@ -458,6 +524,13 @@ class FullSystem:
         self._set_tracking_ref(kf, mvs)
         self.timer.end_timing("kf_set_ref", t_ref)
         self.ref_kf = kf
+
+        # Marginalize the flagged frames last (marginalizeFrame at the end
+        # of makeKeyFrame) — after BA refined their poses and after the
+        # backend/tracking-ref consumed the full window.
+        for victim in flagged:
+            if victim.slot is not None:
+                self._marginalize_kf(victim)
         self.timer.end_timing("make_keyframe", tid)
 
     def _deliver_dr_frame(self, kf: Keyframe):

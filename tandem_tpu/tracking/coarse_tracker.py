@@ -216,42 +216,53 @@ def make_tracker_ref(ref_image, fx, fy, cx, cy, sparse_idepth=None,
                             K=tuple(Ks))
 
 
-def _bilinear_with_grad(img, gx, gy, x, y):
-    """Sample intensity and gradients at float pixel coords. x/y may carry a
-    leading candidate-batch dim; the gather index is folded flat (batched
-    gathers lower to per-element gathers ~30x slower on TPU)."""
-    H, W = img.shape
+def _pack_level(img, gx, gy):
+    """(H, W) intensity + gradients -> (H-1, W-1, 12) corner-packed table.
+
+    TPU gather cost scales with the row COUNT, not row width: packing the
+    four bilinear corners of all three channels side by side turns the 12
+    gathers per sample into ONE wide-row gather (~10x measured). Built once
+    per level per frame, outside the LM while_loop."""
+    s = jnp.stack([img, gx, gy], -1)                         # (H, W, 3)
+    return jnp.concatenate([s[:-1, :-1], s[:-1, 1:],
+                            s[1:, :-1], s[1:, 1:]], -1)      # (H-1, W-1, 12)
+
+
+def _bilinear_with_grad(packed, H, W, x, y):
+    """Sample intensity and gradients at float pixel coords from a
+    corner-packed table (see _pack_level). x/y may carry a leading
+    candidate-batch dim; the gather index is folded flat (batched gathers
+    lower to per-element gathers ~30x slower on TPU). Callers mask samples
+    near the border, so index clipping never changes a used value."""
     x0 = jnp.floor(x)
     y0 = jnp.floor(y)
     wx = x - x0
     wy = y - y0
     x0i = jnp.clip(x0.astype(jnp.int32), 0, W - 2)
     y0i = jnp.clip(y0.astype(jnp.int32), 0, H - 2)
-    idx = (y0i * W + x0i).reshape(-1)
+    idx = (y0i * (W - 1) + x0i).reshape(-1)
 
-    def samp(a):
-        f = a.reshape(-1)
-        v00 = f[idx].reshape(x.shape)
-        v01 = f[idx + 1].reshape(x.shape)
-        v10 = f[idx + W].reshape(x.shape)
-        v11 = f[idx + W + 1].reshape(x.shape)
-        return (v00 * (1 - wx) * (1 - wy) + v01 * wx * (1 - wy)
-                + v10 * (1 - wx) * wy + v11 * wx * wy)
-
-    return samp(img), samp(gx), samp(gy)
+    rows = packed.reshape(-1, 12)[idx]                       # (M, 12)
+    v = rows.reshape(-1, 4, 3)
+    w = jnp.stack([(1 - wx) * (1 - wy), wx * (1 - wy),
+                   (1 - wx) * wy, wx * wy], -1).reshape(-1, 4)
+    out = jnp.einsum("mkc,mk->mc", v, w)
+    sh = x.shape
+    return (out[:, 0].reshape(sh), out[:, 1].reshape(sh),
+            out[:, 2].reshape(sh))
 
 
-def _level_residuals(T, aff, pts, new_img, new_gx, new_gy, Klvl):
+def _level_residuals(T, aff, pts, packed, H, W, Klvl):
     """Residuals + Jacobians for one level's point list, batched over B
     candidate poses.
 
     :param T: (B, 4, 4); aff: (B, 2)
     :param pts: (pu, pv, pid, pcolor, pvalid) fixed-size (N,) arrays
+    :param packed: (H-1, W-1, 12) corner-packed (img, gx, gy) table
     :return: per-point arrays (r (B,N), J (B,N,8), good (B,N), px, py)
     """
     pu, pv, idv, ref_c, msk = pts
     fx, fy, cx, cy = Klvl
-    H, W = new_img.shape
 
     # Normalized camera ray of the ref pixel
     un = (pu - cx) / fx
@@ -271,7 +282,7 @@ def _level_residuals(T, aff, pts, new_img, new_gx, new_gy, Klvl):
     inb = (px > 2) & (px < W - 3) & (py > 2) & (py < H - 3)
     good = good & inb
 
-    hit, gx_i, gy_i = _bilinear_with_grad(new_img, new_gx, new_gy, px, py)
+    hit, gx_i, gy_i = _bilinear_with_grad(packed, H, W, px, py)
     a = aff[:, 0:1]
     b = aff[:, 1:2]
     r = hit - (a * ref_c[None] + b)
@@ -293,20 +304,65 @@ def _level_residuals(T, aff, pts, new_img, new_gx, new_gy, Klvl):
     return r, J, good, px, py
 
 
-def _energy_and_system(T, aff, pts, new_img, new_gx, new_gy, Klvl):
-    r, J, good, *_ = _level_residuals(T, aff, pts, new_img, new_gx, new_gy,
-                                      Klvl)
-    absr = jnp.abs(r)
-    cut = absr < CUTOFF_TH
-    use = good & cut
-    hw = jnp.where(absr < HUBER_TH, 1.0, HUBER_TH / jnp.maximum(absr, 1e-12))
-    # DSO energy form: hw * r^2 * (2 - hw); saturated residuals add the max
-    e_pix = jnp.where(use, hw * r * r * (2.0 - hw),
-                      jnp.where(good, CUTOFF_TH * CUTOFF_TH, 0.0))
+TDIST_DOF = 5.0                        # dvo t-distribution nu (dense_tracking.h)
+
+
+def _tdist_weights(r, use):
+    """Student-t robust weights with iterative scale estimation (dvo-core
+    parity: TDistributionScaleEstimator fixed-point +
+    TDistributionInfluenceFunction, weight_calculation.cpp:437-489):
+
+        sigma^2 <- mean_i r_i^2 (nu+1) / (nu + r_i^2 / sigma^2)   (x5)
+        w_i      = (nu+1) / (nu + r_i^2 / sigma^2)
+
+    The scale iteration makes the weights invariant to the residual
+    magnitude, which is what lets heavy depth-outlier populations (sensor
+    shadows, dynamic objects) be down-weighted where a fixed Huber threshold
+    saturates. r/use: (B, N)."""
+    nu = TDIST_DOF
+    r2 = jnp.where(use, r * r, 0.0)
+    n = jnp.maximum(jnp.sum(use.astype(jnp.float32), axis=-1,
+                            keepdims=True), 1.0)
+    mean_r2 = jnp.sum(r2, axis=-1, keepdims=True) / n
+    # Init from the below-the-mean trimmed mean (a cheap low quantile):
+    # heavy contamination inflates the plain mean by orders of magnitude and
+    # the fixed point — though unique — converges slowly from far above.
+    low = use & (r2 <= mean_r2)
+    n_low = jnp.maximum(jnp.sum(low.astype(jnp.float32), axis=-1,
+                                keepdims=True), 1.0)
+    sigma2 = jnp.maximum(
+        jnp.sum(jnp.where(low, r2, 0.0), axis=-1, keepdims=True) / n_low,
+        1e-6)
+    for _ in range(10):
+        w = (nu + 1.0) / (nu + r2 / sigma2)
+        sigma2 = jnp.maximum(
+            jnp.sum(jnp.where(use, r2 * w, 0.0), axis=-1, keepdims=True) / n,
+            1e-6)
+    return (nu + 1.0) / (nu + r2 / sigma2)
+
+
+def _energy_and_system(T, aff, pts, packed, H, W, Klvl,
+                       tdist: bool = False):
+    r, J, good, *_ = _level_residuals(T, aff, pts, packed, H, W, Klvl)
+    if tdist:
+        # dvo DenseTracker weighting: no cutoff/Huber — the t-distribution
+        # scale iteration handles arbitrary outlier fractions.
+        use = good
+        wf = jnp.where(use, _tdist_weights(r, use), 0.0)
+        e_pix = wf * r * r
+    else:
+        absr = jnp.abs(r)
+        cut = absr < CUTOFF_TH
+        use = good & cut
+        hw = jnp.where(absr < HUBER_TH, 1.0,
+                       HUBER_TH / jnp.maximum(absr, 1e-12))
+        # DSO energy form: hw * r^2 * (2 - hw); saturated residuals add the max
+        e_pix = jnp.where(use, hw * r * r * (2.0 - hw),
+                          jnp.where(good, CUTOFF_TH * CUTOFF_TH, 0.0))
+        wf = jnp.where(use, hw, 0.0)
     energy = jnp.sum(e_pix, axis=-1)                          # (B,)
     num = jnp.sum(good.astype(jnp.float32), axis=-1)          # (B,)
 
-    wf = jnp.where(use, hw, 0.0)
     # H = J^T diag(w) J, g = J^T diag(w) r — the 45-value reduction.
     Jw = J * wf[..., None]
     Hm = jnp.einsum("bni,bnj->bij", Jw, J)                    # (B, 8, 8)
@@ -319,14 +375,14 @@ def _bwhere(cond, a, b):
     return jnp.where(cond.reshape(cond.shape + (1,) * (a.ndim - 1)), a, b)
 
 
-def _lm_level(T, aff, level_data, max_iter):
+def _lm_level(T, aff, level_data, max_iter, tdist: bool = False):
     """Batched LM loop for one level inside jit. T: (B,4,4), aff: (B,2)."""
-    (pts, new_img, new_gx, new_gy, Klvl) = level_data
+    (pts, packed, H, W, Klvl) = level_data
     B = T.shape[0]
 
     def energy_of(T, aff):
-        e, n, Hm, g = _energy_and_system(T, aff, pts, new_img, new_gx,
-                                         new_gy, Klvl)
+        e, n, Hm, g = _energy_and_system(T, aff, pts, packed, H, W, Klvl,
+                                         tdist=tdist)
         return e, n, Hm, g
 
     e0, n0, H0, g0 = energy_of(T, aff)
@@ -409,20 +465,24 @@ def rotation_perturbations(scale: float = 0.02):
 
 
 def _track_frame_batched(ref: CoarseTrackerRef, new_image, T_inits,
-                         aff_inits):
+                         aff_inits, tdist: bool = False):
     """Coarse-to-fine photometric LM over B candidate initializations,
     batched through the whole pyramid (folded gathers; no vmap)."""
     new_pyr = build_pyramid(new_image, NUM_LEVELS)
     T, aff = T_inits, aff_inits
 
     results = {}
+    packed0 = None
     for lvl in range(NUM_LEVELS - 1, -1, -1):
         pts = (ref.pu[lvl], ref.pv[lvl], ref.pid[lvl], ref.pcolor[lvl],
                ref.pvalid[lvl])
-        data = (pts, new_pyr[lvl]["img"], new_pyr[lvl]["gx"],
-                new_pyr[lvl]["gy"], ref.K[lvl])
-        T, aff, e, n = _lm_level(T, aff, data, MAX_ITERS[lvl])
+        H, W = new_pyr[lvl]["img"].shape
+        packed = _pack_level(new_pyr[lvl]["img"], new_pyr[lvl]["gx"],
+                             new_pyr[lvl]["gy"])
+        data = (pts, packed, H, W, ref.K[lvl])
+        T, aff, e, n = _lm_level(T, aff, data, MAX_ITERS[lvl], tdist=tdist)
         if lvl == 0:
+            packed0, H0, W0 = packed, H, W
             results["energy"] = e / jnp.maximum(n, 1.0)
             results["num_terms"] = n
 
@@ -432,20 +492,20 @@ def _track_frame_batched(ref: CoarseTrackerRef, new_image, T_inits,
     pts0 = (ref.pu[lvl], ref.pv[lvl], ref.pid[lvl], ref.pcolor[lvl],
             ref.pvalid[lvl])
     r, J, good, px, py = _level_residuals(
-        T, aff, pts0, new_pyr[lvl]["img"], new_pyr[lvl]["gx"],
-        new_pyr[lvl]["gy"], ref.K[lvl])
+        T, aff, pts0, packed0, H0, W0, ref.K[lvl])
     disp2 = (px - ref.pu[lvl][None]) ** 2 + (py - ref.pv[lvl][None]) ** 2
     T_t = jnp.broadcast_to(jnp.eye(4), T.shape)
     T_t = T_t.at[:, :3, 3].set(T[:, :3, 3])
     _, _, good_t, px_t, py_t = _level_residuals(
-        T_t, aff, pts0, new_pyr[lvl]["img"], new_pyr[lvl]["gx"],
-        new_pyr[lvl]["gy"], ref.K[lvl])
+        T_t, aff, pts0, packed0, H0, W0, ref.K[lvl])
     disp2_t = (px_t - ref.pu[lvl][None]) ** 2 + (py_t - ref.pv[lvl][None]) ** 2
 
     def rms(d2, m):
-        return jnp.sqrt(
-            jnp.sum(jnp.where(m, d2, 0.0), axis=-1)
-            / jnp.maximum(jnp.sum(m.astype(jnp.float32), axis=-1), 1.0))
+        # clamp: the full/translation-only displacement DIFFERENCE can be
+        # negative per-point; its mean must not produce sqrt(<0) = NaN
+        mean = (jnp.sum(jnp.where(m, d2, 0.0), axis=-1)
+                / jnp.maximum(jnp.sum(m.astype(jnp.float32), axis=-1), 1.0))
+        return jnp.sqrt(jnp.maximum(mean, 0.0))
 
     results.update({
         "T": T, "aff": aff,
@@ -457,29 +517,34 @@ def _track_frame_batched(ref: CoarseTrackerRef, new_image, T_inits,
     return results
 
 
-@jax.jit
-def track_frame_multi(ref: CoarseTrackerRef, new_image, T_inits, aff_init):
+@partial(jax.jit, static_argnums=(4,))
+def track_frame_multi(ref: CoarseTrackerRef, new_image, T_inits, aff_init,
+                      tdist: bool = False):
     """Try several initializations in parallel (batched coarse-to-fine LM)
     and return the best by level-0 energy."""
     B = T_inits.shape[0]
     affs = jnp.broadcast_to(aff_init[None], (B, 2))
-    outs = _track_frame_batched(ref, new_image, T_inits, affs)
+    outs = _track_frame_batched(ref, new_image, T_inits, affs, tdist=tdist)
     best = jnp.argmin(jnp.where(jnp.isfinite(outs["energy"]),
                                 outs["energy"], jnp.inf))
     return jax.tree_util.tree_map(lambda x: x[best], outs)
 
 
-@jax.jit
-def track_frame(ref: CoarseTrackerRef, new_image, T_init, aff_init):
+@partial(jax.jit, static_argnums=(4,))
+def track_frame(ref: CoarseTrackerRef, new_image, T_init, aff_init,
+                tdist: bool = False):
     """Coarse-to-fine photometric LM alignment.
 
     :param new_image: (H, W) float intensity
     :param T_init: (4, 4) initial ref->new pose guess
     :param aff_init: (2,) initial affine (a, b)
+    :param tdist: use dvo-core's Student-t robust weighting instead of DSO's
+        Huber+cutoff (the RGB-D trackNewestCoarseDense path,
+        dense_tracking.h:156-160)
     :return: dict with 'T' (4,4), 'aff' (2,), 'energy' per-pixel mean at level
         0, 'valid' fraction of usable residuals, 'flow' (3,) flow indicators
         for the keyframe heuristic (FullSystem.cpp:1038-1058)
     """
     outs = _track_frame_batched(ref, new_image, T_init[None],
-                                aff_init[None])
+                                aff_init[None], tdist=tdist)
     return jax.tree_util.tree_map(lambda x: x[0], outs)

@@ -18,6 +18,17 @@ import jax  # noqa: E402
 # is authoritative and restores CPU for tests.
 jax.config.update("jax_platforms", "cpu")
 
+# Persistent compilation cache: the suite's wall time is dominated by CPU
+# jit compiles (the tracker/BA/initializer programs take 30-60 s each);
+# caching them across runs turns repeat runs into a ~2-minute fast tier.
+_cache_dir = os.environ.get("TANDEM_TEST_JIT_CACHE",
+                            "/tmp/tandem_tpu_jit_cache")
+try:
+    jax.config.update("jax_compilation_cache_dir", _cache_dir)
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 2.0)
+except Exception:
+    pass  # older jax without the persistent cache API
+
 import numpy as np  # noqa: E402
 import pytest  # noqa: E402
 

@@ -118,3 +118,61 @@ def test_track_with_dense_injected_depth():
     T_est = np.asarray(out["T"])
     T_gt = np.asarray(se3_inverse(jnp.asarray(new_c2w)))
     assert np.abs(T_est[:3, 3] - T_gt[:3, 3]).max() < 1e-2
+
+
+def test_tdist_weights_separate_outliers():
+    """dvo-core parity (weight_calculation.cpp:437-489): on a contaminated
+    residual population (80% inliers sigma=1, 20% gross outliers) the
+    Student-t scale fixed point must recover the INLIER scale — not the
+    contaminated RMS — and the resulting weights must separate the two
+    populations. This is the mechanism a fixed Huber threshold lacks."""
+    from tandem_tpu.tracking.coarse_tracker import _tdist_weights
+
+    rng = np.random.RandomState(0)
+    n = 4096
+    r = rng.randn(n).astype(np.float32)             # inliers: sigma = 1
+    out = rng.rand(n) < 0.20
+    r = np.where(out, rng.uniform(8.0, 60.0, n) * np.sign(r), r)
+    w = np.asarray(_tdist_weights(jnp.asarray(r)[None],
+                                  jnp.ones((1, n), bool)))[0]
+    # Inliers keep near-full weight; gross outliers are crushed.
+    assert np.median(w[~out]) > 0.7, np.median(w[~out])
+    assert np.median(w[out]) < 0.2, np.median(w[out])
+    # Influence (w * r) of an outlier must DECAY with r (redescending),
+    # unlike Huber's constant influence.
+    infl = np.abs(w * r)
+    big = np.abs(r) > 30
+    mid = (np.abs(r) > 8) & (np.abs(r) < 15)
+    assert infl[big].mean() < infl[mid].mean()
+
+
+def test_tdist_not_worse_on_depth_outliers():
+    """End-to-end: with 20% corrupted reference depths, Student-t tracking
+    is at least as accurate as Huber+cutoff (on synthetic quasi-periodic
+    texture many outliers alias onto small residuals, so the achievable
+    gain is modest — the unit test above pins the mechanism)."""
+    rng = np.random.RandomState(3)
+    ref_c2w = np.eye(4)
+    ref_img, ref_depth = render_plane(ref_c2w)
+    xi = np.array([0.03, -0.015, 0.02, 0.008, -0.01, 0.006], np.float32)
+    new_c2w = np.asarray(se3_exp(jnp.array(xi)))
+    new_img, _ = render_plane(new_c2w)
+
+    idepth = 1.0 / ref_depth
+    bad = rng.rand(H, W) < 0.20
+    idepth = np.where(bad, idepth * rng.uniform(0.25, 4.0, (H, W)), idepth)
+
+    ref = make_tracker_ref(jnp.asarray(ref_img), FX, FY, CX, CY,
+                           sparse_idepth=jnp.asarray(idepth.astype(np.float32)),
+                           sparse_weight=jnp.ones((H, W)))
+    T_gt = np.asarray(se3_inverse(jnp.asarray(new_c2w)))
+
+    def err(tdist):
+        out = track_frame(ref, jnp.asarray(new_img), jnp.eye(4),
+                          jnp.zeros(2).at[0].set(1.0), tdist)
+        return np.abs(np.asarray(out["T"])[:3, 3] - T_gt[:3, 3]).max()
+
+    e_huber = err(False)
+    e_tdist = err(True)
+    assert e_tdist < 0.04, (e_tdist, e_huber)
+    assert e_tdist <= e_huber * 1.02, (e_tdist, e_huber)

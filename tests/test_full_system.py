@@ -36,7 +36,10 @@ def _align_sim3_translations(est, gt):
 
 
 def test_vo_tracks_sequence(tmp_path):
-    poses_gt, images = make_sequence()
+    # 18 frames: the DSO-grade joint initializer needs snapped + 5 stable
+    # frames before promoting (CoarseInitializer :275), so keyframing only
+    # starts around frame 8.
+    poses_gt, images = make_sequence(n=18)
     opts = FullSystemOptions(selection_threshold_factor=0.35,
                              kf_flow_threshold=0.35, ba_iters=4,
                              init_max_width=0.4)

@@ -55,7 +55,8 @@ class OracleRunner:
 
 
 def test_tandem_loop(tmp_path):
-    poses_gt, images = make_sequence(n=14, step=0.02)
+    # Long enough for the joint initializer (~8 frames) plus a 4-KF window.
+    poses_gt, images = make_sequence(n=22, step=0.02)
     K_mat = np.array([[FX, 0, CX], [0, FY, CY], [0, 0, 1]], np.float32)
 
     cfg = TsdfConfig(voxel_size=0.02, table_dim=64, pool_size=4096,
