@@ -91,6 +91,10 @@ def main(argv=None):
         backend = TandemBackend(runner, cfg, K_mat, H, W,
                                 mesh_extraction_freq=s.mesh_extraction_freq,
                                 timer=timer)
+        if s.save_dr_video:
+            from ..pipeline.output_wrapper import PanelOutputWrapper
+            backend.output_wrappers.append(PanelOutputWrapper(
+                os.path.join(s.result_folder, "dr_video")))
 
     opts = FullSystemOptions(
         max_keyframes=s.max_frames,

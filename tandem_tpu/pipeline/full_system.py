@@ -191,15 +191,29 @@ class FullSystem:
 
     def _select_candidates(self, img) -> np.ndarray:
         """Gradient-based candidate selection with DSO-style density
-        adaptation: if far too few pixels clear the threshold, relax it and
-        retry (PixelSelector2::makeMaps recursion on desired density)."""
+        adaptation (PixelSelector2::makeMaps recursion): when the yield is
+        far from the desired density, first relax the threshold, then grow
+        the selection potential (one candidate per LARGER cell -> fewer,
+        or per smaller cell -> more), exactly the two knobs the reference
+        recursion adjusts (PixelSelector2.cpp makeMaps
+        quotia/potential update)."""
+        want = self.opt.immature_cap
         factor = self.opt.selection_threshold_factor
+        potential = 4
+        best = None
         for _ in range(4):
-            mask = _select_mask(img, float(factor))
-            if int(np.asarray(mask).sum()) >= self.opt.immature_cap // 4:
+            mask = _select_mask(img, float(factor), potential)
+            n = int(np.asarray(mask).sum())
+            best = np.asarray(mask)
+            if n > 4 * want and potential < 8:
+                potential *= 2          # too many: coarser cells
+            elif n < want // 4 and potential > 1:
+                potential //= 2         # too few: finer cells
+            elif n < want // 4:
+                factor *= 0.4           # finest cells still starved: relax
+            else:
                 break
-            factor *= 0.4
-        return np.asarray(mask)
+        return best
 
     # ------------------------------------------------------------------
     def _first_frame_rgbd(self, img, frame_id, timestamp, bgr, depth):
@@ -622,8 +636,8 @@ class FullSystem:
             self.windows)
 
 
-@partial(jax.jit, static_argnums=(1,))
-def _select_mask(img, threshold_factor: float):
+@partial(jax.jit, static_argnums=(1, 2))
+def _select_mask(img, threshold_factor: float, potential: int = 4):
     """Gradient magnitude + adaptive-threshold selection in ONE device
     program (eager pyramid ops on the host path are slow and, once pulled to
     numpy, poison remote dispatch)."""
@@ -631,7 +645,7 @@ def _select_mask(img, threshold_factor: float):
     gy = jnp.zeros_like(img)
     gx = gx.at[:, 1:-1].set(0.5 * (img[:, 2:] - img[:, :-2]))
     gy = gy.at[1:-1, :].set(0.5 * (img[2:, :] - img[:-2, :]))
-    return select_pixels(gx * gx + gy * gy,
+    return select_pixels(gx * gx + gy * gy, potential=potential,
                          threshold_factor=threshold_factor)
 
 

@@ -84,3 +84,56 @@ class FileOutputWrapper(Output3DWrapper):
                               f"mesh_{self.mesh_count:04d}.obj"),
                  vertices, faces, colors)
         self.mesh_count += 1
+
+
+def _rainbow(x: np.ndarray) -> np.ndarray:
+    """Map [0, 1] -> BGR uint8 with the viewer's rainbow ramp
+    (makeRainbow3B, PangolinDSOViewer/ImageDisplay semantics: blue = far /
+    small idepth through green to red = near)."""
+    x = np.clip(np.asarray(x, np.float32), 0.0, 1.0)
+    r = np.clip(1.5 - np.abs(4.0 * x - 3.0), 0, 1)
+    g = np.clip(1.5 - np.abs(4.0 * x - 2.0), 0, 1)
+    b = np.clip(1.5 - np.abs(4.0 * x - 1.0), 0, 1)
+    return (np.stack([b, g, r], -1) * 255).astype(np.uint8)
+
+
+class PanelOutputWrapper(Output3DWrapper):
+    """Viewer-grade headless rendering: per-keyframe panels
+    [input | rainbow inverse depth | confidence] written as numbered PNGs
+    (ffmpeg-ready), matching what PangolinDSOViewer renders for
+    pushDrKfImage/pushDrKfDepth (Output3DWrapper.h:200-219,
+    PangolinDSOViewer.cpp:803)."""
+
+    def __init__(self, out_dir: str):
+        self.out_dir = out_dir
+        os.makedirs(out_dir, exist_ok=True)
+        self.kf_count = 0
+        self._last_bgr: Optional[np.ndarray] = None
+
+    def push_dr_kf_image(self, bgr):
+        self._last_bgr = np.asarray(bgr)
+
+    def push_dr_kf_depth(self, depth, confidence):
+        try:
+            import cv2
+        except ImportError:
+            return
+        d = np.asarray(depth, np.float32)
+        c = np.asarray(confidence, np.float32)
+        valid = d > 0
+        # Normalize inverse depth over the valid support (the viewer scales
+        # by the current idepth range).
+        idep = np.where(valid, 1.0 / np.maximum(d, 1e-6), 0.0)
+        hi = np.percentile(idep[valid], 98) if valid.any() else 1.0
+        panel_d = _rainbow(idep / max(hi, 1e-6))
+        panel_d[~valid] = 0
+        panel_c = (np.clip(c, 0, 1)[..., None] * 255).astype(
+            np.uint8).repeat(3, -1)
+        img = self._last_bgr
+        if img is None or img.shape[:2] != d.shape:
+            img = np.zeros(d.shape + (3,), np.uint8)
+        panel = np.concatenate(
+            [img.astype(np.uint8), panel_d, panel_c], axis=1)
+        cv2.imwrite(os.path.join(self.out_dir,
+                                 f"dr_kf_{self.kf_count:06d}.png"), panel)
+        self.kf_count += 1

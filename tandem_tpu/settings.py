@@ -40,6 +40,9 @@ class Settings:
     mesh_extraction_freq: int = 10
     dense_tracking_with_dense_depth_only: bool = False
     dr_timing: bool = False
+    # Headless viewer parity: write per-KF [image | depth | confidence]
+    # panels (pushDrKfImage/pushDrKfDepth rendering) under result_folder
+    save_dr_video: bool = False
     # --- runtime behaviour ---
     preload: bool = False
     quiet: bool = True

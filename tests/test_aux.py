@@ -123,3 +123,26 @@ def test_photometric_undistorter(tmp_path):
     assert out[0, 0] == 0.0
     assert abs(out[0, 2] - 255.0) < 1e-3
     assert out[0, 1] < 128  # concave-up response maps midtones down
+
+
+def test_panel_output_wrapper(tmp_path):
+    """Viewer-grade headless sink: pushDrKfImage/pushDrKfDepth render into
+    a composed [image | rainbow idepth | confidence] panel."""
+    import numpy as np
+    from tandem_tpu.pipeline.output_wrapper import PanelOutputWrapper
+
+    H, W = 32, 48
+    ow = PanelOutputWrapper(str(tmp_path))
+    rng = np.random.RandomState(0)
+    ow.push_dr_kf_image(rng.randint(0, 255, (H, W, 3)).astype(np.uint8))
+    depth = rng.uniform(0.5, 3.0, (H, W)).astype(np.float32)
+    depth[:4] = 0.0                       # invalid region renders black
+    ow.push_dr_kf_depth(depth, rng.rand(H, W).astype(np.float32))
+    import cv2
+    panel = cv2.imread(str(tmp_path / "dr_kf_000000.png"))
+    assert panel is not None and panel.shape == (H, 3 * W, 3)
+    # invalid depth -> black in the middle panel
+    assert panel[:4, W:2 * W].max() == 0
+    # valid depth uses the rainbow ramp (colored, not grayscale)
+    mid = panel[8:, W:2 * W].astype(int)
+    assert np.abs(mid[..., 0] - mid[..., 2]).max() > 30
