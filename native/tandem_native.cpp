@@ -212,6 +212,145 @@ void tandem_bgr_to_rgb_chw(const uint8_t* bgr, int w, int h, float* rgb_chw) {
   });
 }
 
-int tandem_native_version() { return 1; }
+int tandem_native_version() { return 2; }
 
 }  // extern "C"
+
+// ----------------------------------------------------------------------
+// Prefetching image loader: the native equivalent of the reference's
+// DatasetReader preload / per-frame read path (ImageRW + preload option,
+// tandem/src/util/DatasetReader.h) — a background thread decodes frames
+// ahead of the consumer into a bounded window, so PNG/JPEG decode never
+// sits on the tracking thread. Requires OpenCV imgcodecs; compiled out
+// (functions return failure) when the headers are unavailable.
+#if defined(TANDEM_WITH_OPENCV)
+#include <opencv2/core.hpp>
+#include <opencv2/imgcodecs.hpp>
+
+#include <map>
+#include <sstream>
+#include <string>
+
+namespace {
+
+class PrefetchLoader {
+ public:
+  PrefetchLoader(std::vector<std::string> paths, int ahead)
+      : paths_(std::move(paths)), ahead_(std::max(ahead, 1)), stop_(false),
+        consumer_(0) {
+    worker_ = std::thread([this] { Loop(); });
+  }
+  ~PrefetchLoader() {
+    {
+      std::unique_lock<std::mutex> lk(m_);
+      stop_ = true;
+    }
+    cv_.notify_all();
+    worker_.join();
+  }
+
+  // Blocks until frame idx is decoded; fills dims. false = decode failed.
+  bool Info(int idx, int* h, int* w, int* c) {
+    std::unique_lock<std::mutex> lk(m_);
+    if (idx < 0 || idx >= (int)paths_.size()) return false;
+    if (idx > consumer_) consumer_ = idx;   // advance the window
+    cv_.notify_all();
+    ready_cv_.wait(lk, [&] { return cache_.count(idx) || failed_.count(idx); });
+    if (failed_.count(idx)) return false;
+    const cv::Mat& m = cache_[idx];
+    *h = m.rows;
+    *w = m.cols;
+    *c = m.channels();
+    return true;
+  }
+
+  void Copy(int idx, uint8_t* dst) {
+    std::unique_lock<std::mutex> lk(m_);
+    auto it = cache_.find(idx);
+    if (it == cache_.end()) return;
+    const cv::Mat& m = it->second;
+    std::memcpy(dst, m.data, (size_t)m.rows * m.cols * m.channels());
+    // Frames at or before the consumer cursor are spent.
+    for (auto jt = cache_.begin(); jt != cache_.end();)
+      jt = (jt->first <= idx) ? cache_.erase(jt) : std::next(jt);
+    cv_.notify_all();
+  }
+
+ private:
+  void Loop() {
+    int next = 0;
+    while (true) {
+      {
+        std::unique_lock<std::mutex> lk(m_);
+        cv_.wait(lk, [&] {
+          return stop_ || (next < (int)paths_.size()
+                           && next <= consumer_ + ahead_
+                           && (int)cache_.size() < 2 * ahead_);
+        });
+        if (stop_) return;
+        if (next < consumer_) next = consumer_;  // seek forward
+      }
+      cv::Mat m = cv::imread(paths_[next], cv::IMREAD_COLOR);
+      {
+        std::unique_lock<std::mutex> lk(m_);
+        if (m.empty())
+          failed_[next] = true;
+        else
+          cache_[next] = m;
+        ready_cv_.notify_all();
+      }
+      next++;
+    }
+  }
+
+  std::vector<std::string> paths_;
+  int ahead_;
+  bool stop_;
+  int consumer_;
+  std::thread worker_;
+  std::mutex m_;
+  std::condition_variable cv_, ready_cv_;
+  std::map<int, cv::Mat> cache_;
+  std::map<int, bool> failed_;
+};
+
+}  // namespace
+
+extern "C" {
+
+void* tandem_loader_create(const char* paths_joined, int n, int ahead) {
+  std::vector<std::string> paths;
+  std::stringstream ss(paths_joined);
+  std::string line;
+  while (std::getline(ss, line, '\n'))
+    if (!line.empty()) paths.push_back(line);
+  if ((int)paths.size() != n) return nullptr;
+  return new PrefetchLoader(std::move(paths), ahead);
+}
+
+int tandem_loader_info(void* h, int idx, int* out_h, int* out_w, int* out_c) {
+  return static_cast<PrefetchLoader*>(h)->Info(idx, out_h, out_w, out_c)
+             ? 0 : -1;
+}
+
+void tandem_loader_copy(void* h, int idx, uint8_t* dst) {
+  static_cast<PrefetchLoader*>(h)->Copy(idx, dst);
+}
+
+void tandem_loader_destroy(void* h) { delete static_cast<PrefetchLoader*>(h); }
+
+int tandem_loader_available() { return 1; }
+
+}  // extern "C"
+
+#else  // !TANDEM_WITH_OPENCV
+
+extern "C" {
+void* tandem_loader_create(const char*, int, int) { return nullptr; }
+int tandem_loader_info(void*, int, int*, int*, int*) { return -1; }
+void tandem_loader_copy(void*, int, uint8_t*) {}
+void tandem_loader_destroy(void*) {}
+int tandem_loader_available() { return 0; }
+}  // extern "C"
+
+#endif  // TANDEM_WITH_OPENCV

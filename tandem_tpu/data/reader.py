@@ -50,9 +50,19 @@ class ImageFolderReader:
         self._load_timestamps()
 
         self._cache = {}
+        self._last = (-1, None)   # (idx, bgr): get_image + get_image_bgr
+                                  # both read the same frame each step
+        self._prefetch = None
         if preload:
             for i in range(len(self.files)):
                 self._cache[i] = self._read_raw(i)
+        elif self.zip is None:
+            # Native background decoder (DatasetReader read-path parity):
+            # PNG/JPEG decode runs ahead of the tracking loop.
+            from .. import native_bridge
+            pf = native_bridge.PrefetchImageLoader(
+                [os.path.join(path, f) for f in self.files])
+            self._prefetch = pf if pf.native else None
 
     # ------------------------------------------------------------------
     def _load_timestamps(self):
@@ -77,11 +87,18 @@ class ImageFolderReader:
             self.exposures = [1.0] * len(self.files)
 
     def _read_raw(self, idx: int) -> np.ndarray:
+        if self._last[0] == idx and self._last[1] is not None:
+            return self._last[1]
         if self.zip is not None:
             data = np.frombuffer(self.zip.read(self.files[idx]), np.uint8)
-            return cv2.imdecode(data, cv2.IMREAD_COLOR)
-        return cv2.imread(os.path.join(self.path, self.files[idx]),
-                          cv2.IMREAD_COLOR)
+            bgr = cv2.imdecode(data, cv2.IMREAD_COLOR)
+        elif self._prefetch is not None:
+            bgr = self._prefetch.read(idx)
+        else:
+            bgr = cv2.imread(os.path.join(self.path, self.files[idx]),
+                             cv2.IMREAD_COLOR)
+        self._last = (idx, bgr)
+        return bgr
 
     def __len__(self):
         return len(self.files)

@@ -28,15 +28,23 @@ _OUT = os.path.join(os.path.dirname(_SRC), "libtandem_native.so")
 def _compile() -> Optional[str]:
     if os.path.exists(_OUT) and os.path.getmtime(_OUT) >= os.path.getmtime(_SRC):
         return _OUT
-    cmd = ["g++", "-O3", "-march=native", "-shared", "-fPIC", "-std=c++17",
-           "-pthread", _SRC, "-o", _OUT]
-    try:
-        subprocess.run(cmd, check=True, capture_output=True, timeout=240)
-        return _OUT
-    except Exception as e:  # pragma: no cover
-        print(f"tandem_native: build failed ({e}); using numpy fallbacks",
-              file=sys.stderr)
-        return None
+    base = ["g++", "-O3", "-march=native", "-shared", "-fPIC", "-std=c++17",
+            "-pthread", _SRC, "-o", _OUT]
+    # Prefer the OpenCV-enabled build (prefetching image loader); fall back
+    # to the codec-free build when headers/libs are unavailable.
+    with_cv = (base[:1]
+               + ["-DTANDEM_WITH_OPENCV", "-I/usr/include/opencv4"]
+               + base[1:]
+               + ["-lopencv_imgcodecs", "-lopencv_core"])
+    for cmd in (with_cv, base):
+        try:
+            subprocess.run(cmd, check=True, capture_output=True, timeout=240)
+            return _OUT
+        except Exception:
+            continue
+    print("tandem_native: build failed; using numpy fallbacks",
+          file=sys.stderr)  # pragma: no cover
+    return None
 
 
 def get_lib():
@@ -57,6 +65,17 @@ def get_lib():
             lib.tandem_bgr_to_rgb_chw.argtypes = [
                 u8p, ctypes.c_int, ctypes.c_int, f32p]
             lib.tandem_native_version.restype = ctypes.c_int
+            ip = ctypes.POINTER(ctypes.c_int)
+            lib.tandem_loader_create.argtypes = [ctypes.c_char_p,
+                                                 ctypes.c_int, ctypes.c_int]
+            lib.tandem_loader_create.restype = ctypes.c_void_p
+            lib.tandem_loader_info.argtypes = [ctypes.c_void_p, ctypes.c_int,
+                                               ip, ip, ip]
+            lib.tandem_loader_info.restype = ctypes.c_int
+            lib.tandem_loader_copy.argtypes = [ctypes.c_void_p, ctypes.c_int,
+                                               u8p]
+            lib.tandem_loader_destroy.argtypes = [ctypes.c_void_p]
+            lib.tandem_loader_available.restype = ctypes.c_int
             _LIB = lib
     return _LIB
 
@@ -131,6 +150,57 @@ def build_pyramid_native(img: np.ndarray, levels: int = 6):
                     gys[off:off + n].reshape(hh, ww)))
         off += n
     return out
+
+
+class PrefetchImageLoader:
+    """Native background-thread image decoder (DatasetReader preload /
+    read-path parity): frames are decoded `ahead` of the consumer so PNG/
+    JPEG decode never blocks the tracking loop. Falls back to synchronous
+    cv2 reads when the OpenCV-enabled native build is unavailable."""
+
+    def __init__(self, paths, ahead: int = 8):
+        self.paths = list(paths)
+        self._h = None
+        lib = get_lib()
+        self._lib = None
+        if lib is not None and lib.tandem_loader_available():
+            joined = "\n".join(self.paths).encode()
+            h = lib.tandem_loader_create(joined, len(self.paths), ahead)
+            if h:
+                self._h = ctypes.c_void_p(h)
+                self._lib = lib
+
+    @property
+    def native(self) -> bool:
+        return self._h is not None
+
+    def read(self, idx: int) -> np.ndarray:
+        """BGR uint8 (H, W, 3)."""
+        if self._h is not None:
+            hh = ctypes.c_int()
+            ww = ctypes.c_int()
+            cc = ctypes.c_int()
+            rc = self._lib.tandem_loader_info(
+                self._h, idx, ctypes.byref(hh), ctypes.byref(ww),
+                ctypes.byref(cc))
+            if rc == 0:
+                out = np.empty((hh.value, ww.value, cc.value), np.uint8)
+                self._lib.tandem_loader_copy(self._h, idx,
+                                             _ptr(out, ctypes.c_uint8))
+                return out
+        import cv2
+        return cv2.imread(self.paths[idx], cv2.IMREAD_COLOR)
+
+    def close(self):
+        if self._h is not None:
+            self._lib.tandem_loader_destroy(self._h)
+            self._h = None
+
+    def __del__(self):  # pragma: no cover
+        try:
+            self.close()
+        except Exception:
+            pass
 
 
 def bgr_to_rgb_chw(bgr: np.ndarray) -> np.ndarray:

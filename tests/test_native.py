@@ -15,7 +15,7 @@ def lib():
 
 
 def test_version(lib):
-    assert lib.tandem_native_version() == 1
+    assert lib.tandem_native_version() >= 1
 
 
 def test_remap_identity(lib, rng):
@@ -71,3 +71,45 @@ def test_bgr_to_rgb(lib, rng):
     out = nb.bgr_to_rgb_chw(bgr)
     expect = (bgr[..., ::-1].astype(np.float32) / 255.0).transpose(2, 0, 1)
     np.testing.assert_allclose(out, expect, atol=1e-6)
+
+
+def test_prefetch_image_loader(tmp_path):
+    """Native background decoder delivers byte-identical frames and
+    tolerates out-of-order skips (seek-forward semantics)."""
+    import cv2
+    from tandem_tpu.native_bridge import PrefetchImageLoader
+
+    rng = np.random.RandomState(0)
+    paths = []
+    for i in range(12):
+        img = rng.randint(0, 255, (32, 40, 3)).astype(np.uint8)
+        p = str(tmp_path / f"{i:03d}.png")
+        cv2.imwrite(p, img)
+        paths.append(p)
+    pl = PrefetchImageLoader(paths, ahead=3)
+    try:
+        for i in (0, 1, 2, 5, 6, 11):     # includes forward skips
+            a = pl.read(i)
+            b = cv2.imread(paths[i], cv2.IMREAD_COLOR)
+            assert np.array_equal(a, b), i
+    finally:
+        pl.close()
+
+
+def test_reader_uses_prefetch(tmp_path):
+    """ImageFolderReader picks up the native prefetcher on plain folders."""
+    import cv2
+    from tandem_tpu.data.reader import ImageFolderReader
+    from tandem_tpu.native_bridge import get_lib
+
+    rng = np.random.RandomState(1)
+    for i in range(4):
+        cv2.imwrite(str(tmp_path / f"{i:02d}.png"),
+                    rng.randint(0, 255, (32, 64, 3)).astype(np.uint8))
+    r = ImageFolderReader(str(tmp_path))
+    lib = get_lib()
+    if lib is not None and lib.tandem_loader_available():
+        assert r._prefetch is not None
+    gray, ts, exp = r.get_image(0)
+    bgr = r.get_image_bgr(0)
+    assert gray.shape == (32, 64) and bgr.shape == (32, 64, 3)
