@@ -422,25 +422,19 @@ def raycast(cfg: TsdfConfig, vol: TsdfVolume, K_and_pose, H: int, W: int,
     for start in range(0, max(n, 1), chunk):
         zbuf = _splat_chunk(cfg, zbuf, vol, K, w2c_R, w2c_t, start, chunk,
                             H, W)
-    return _raycast_march(cfg, vol, K, cam_to_world, zbuf, H, W)
+    # Static allocated-prefix bound: TPU gather throughput cliffs ~5x once
+    # the table exceeds the on-chip cache (~34 MB measured); bounding the
+    # lookup tables by the allocated blocks (rounded, so recompiles are
+    # rare) keeps every march/color gather on the fast path.
+    n_pool = min(-(-max(n, 1) // 4096) * 4096, cfg.pool_size)
+    return _raycast_march(cfg, vol, K, cam_to_world, zbuf, H, W,
+                          n_pool=n_pool)
 
 
-def _pack_voxel_rows(vol: TsdfVolume):
-    """(pool*B3, 8) bf16 rows [tsdf, weight, r, g, b, 0, 0, 0]: one row
-    gather serves the march (sdf/weight) and the color render. bf16 keeps
-    ~0.4% relative sdf precision (< 2e-4 m inside the truncation band) and
-    <1 intensity unit of color error."""
-    P, B3 = vol.tsdf.shape
-    return jnp.concatenate(
-        [vol.tsdf[..., None], vol.weight[..., None], vol.color,
-         jnp.zeros((P, B3, 3), jnp.float32)], -1
-    ).astype(jnp.bfloat16).reshape(P * B3, 8)
-
-
-@partial(jax.jit, static_argnums=(0, 5, 6, 7, 8))
+@partial(jax.jit, static_argnums=(0, 5, 6, 7, 8, 9))
 def _raycast_march(cfg: TsdfConfig, vol: TsdfVolume, K, cam_to_world, zbuf,
                    H: int, W: int, refine_steps: int = 8,
-                   fill_rounds: int = 4):
+                   fill_rounds: int = 4, n_pool: int = None):
     N = H * W
     b = cfg.block_size
     u = jnp.tile(jnp.arange(W, dtype=jnp.float32), H)
@@ -452,27 +446,36 @@ def _raycast_march(cfg: TsdfConfig, vol: TsdfVolume, K, cam_to_world, zbuf,
     ray_cam = jnp.stack([(u - cx) / fx, (v - cy) / fy, jnp.ones(N)], -1)
     ray_w = ray_cam @ R.T  # direction scaled so that step == z-depth step
 
-    packed = _pack_voxel_rows(vol)
     B3 = b ** 3
+    P = vol.tsdf.shape[0] if n_pool is None else n_pool
+    # Narrow per-purpose prefix tables (see raycast() on the cache cliff):
+    # march reads [tsdf, weight] pairs, the color pass reads [r, g, b, w].
+    # bf16 keeps ~0.4% relative sdf precision (< 2e-4 m in the truncation
+    # band) and < 1 intensity unit of color error.
+    tsdf_p = jax.lax.slice_in_dim(vol.tsdf, 0, P, axis=0)
+    wgt_p = jax.lax.slice_in_dim(vol.weight, 0, P, axis=0)
+    col_p = jax.lax.slice_in_dim(vol.color, 0, P, axis=0)
+    march_tab = jnp.stack([tsdf_p, wgt_p], -1).astype(
+        jnp.bfloat16).reshape(P * B3, 2)
+    color_tab = jnp.concatenate(
+        [col_p, wgt_p[..., None]], -1).astype(jnp.bfloat16).reshape(
+            P * B3, 4)
 
-    def lookup_rows(cur):
-        """One packed-row gather at the nearest voxel of each ray point."""
-        pts = t + ray_w * cur[:, None]
+    def voxel_index(pts):
         vox = jnp.floor(pts / cfg.voxel_size).astype(jnp.int32)
         block = jnp.floor(pts / cfg.block_extent).astype(jnp.int32)
         local = jnp.clip(vox - block * b, 0, b - 1)
         flat_tab, in_arena = _table_index(cfg, block)
         slot = vol.page_table[flat_tab]
-        allocated = (slot >= 0) & in_arena
+        allocated = (slot >= 0) & (slot < P) & in_arena
         li = (local[:, 2] * b + local[:, 1]) * b + local[:, 0]
-        idx = jnp.where(allocated, slot, 0) * B3 + li
-        rows = packed[idx].astype(jnp.float32)
-        sdf = rows[:, 0]
-        wgt = jnp.where(allocated, rows[:, 1], 0.0)
-        return sdf, wgt, rows
+        return jnp.where(allocated, slot, 0) * B3 + li, allocated
 
     def advance(cur, hit):
-        sdf, w, _ = lookup_rows(cur)
+        idx, allocated = voxel_index(t + ray_w * cur[:, None])
+        rows = march_tab[idx].astype(jnp.float32)
+        sdf = rows[:, 0]
+        w = jnp.where(allocated, rows[:, 1], 0.0)
         step = jnp.where(w > 0, sdf, cfg.truncation)
         active = (~hit) & (cur < cfg.max_depth)
         # The reference advances BEFORE its break check, so the returned depth
@@ -503,11 +506,13 @@ def _raycast_march(cfg: TsdfConfig, vol: TsdfVolume, K, cam_to_world, zbuf,
 
     found = hit & (cur < cfg.max_depth)
     # Trilinear color at the hit point (GetInterpolatedVoxel: per-corner
-    # centre-value fallback for empty corners) — 9 packed-row gathers.
+    # centre-value fallback for empty corners) — 9 narrow-row gathers.
     vs = cfg.voxel_size
     pts = t + ray_w * cur[:, None]
-    _, w0, rows0 = lookup_rows(cur)
-    col0 = rows0[:, 2:5]
+    idx0, alloc0 = voxel_index(pts)
+    rows0 = color_tab[idx0].astype(jnp.float32)
+    w0 = jnp.where(alloc0, rows0[:, 3], 0.0)
+    col0 = rows0[:, :3]
     frac = pts / vs - jnp.floor(pts / vs)
     col_acc = jnp.zeros_like(col0)
     dual_base = -0.5 * vs
@@ -517,18 +522,10 @@ def _raycast_march(cfg: TsdfConfig, vol: TsdfVolume, K, cam_to_world, zbuf,
                 off = (jnp.array([ox, oy, oz], jnp.float32) * vs + dual_base)
                 # corner lookup along the ray parameterization: shift the
                 # world point, not the ray depth
-                pc = pts + off
-                vox = jnp.floor(pc / vs).astype(jnp.int32)
-                block = jnp.floor(pc / cfg.block_extent).astype(jnp.int32)
-                local = jnp.clip(vox - block * b, 0, b - 1)
-                flat_tab, in_arena = _table_index(cfg, block)
-                slot = vol.page_table[flat_tab]
-                allocated = (slot >= 0) & in_arena
-                li = (local[:, 2] * b + local[:, 1]) * b + local[:, 0]
-                idx = jnp.where(allocated, slot, 0) * B3 + li
-                rows = packed[idx].astype(jnp.float32)
-                wc = jnp.where(allocated, rows[:, 1], 0.0)
-                c = jnp.where((wc > 0)[:, None], rows[:, 2:5], col0)
+                idx, allocated = voxel_index(pts + off)
+                rows = color_tab[idx].astype(jnp.float32)
+                wc = jnp.where(allocated, rows[:, 3], 0.0)
+                c = jnp.where((wc > 0)[:, None], rows[:, :3], col0)
                 wt = (jnp.where(ox, frac[:, 0], 1 - frac[:, 0])
                       * jnp.where(oy, frac[:, 1], 1 - frac[:, 1])
                       * jnp.where(oz, frac[:, 2], 1 - frac[:, 2]))

@@ -11,7 +11,8 @@ from __future__ import annotations
 import jax.numpy as jnp
 from flax import linen as nn
 
-from .layers import ConvBnRelu, DeconvBnRelu, _ConvParams, conv3d_via_2d
+from .layers import (ConvBnRelu, DeconvBnRelu, _ConvParams,
+                     conv3d_folded_nhwdc)
 
 
 class CostRegNet(nn.Module):
@@ -23,10 +24,15 @@ class CostRegNet(nn.Module):
     @nn.compact
     def __call__(self, x, train: bool = False):
         b = self.base_channels
-        kw = dict(ndim=3, normalization=self.normalization, dtype=self.dtype)
+        # The whole U-Net runs in the FOLDED (B, H, W, D, C) layout: depth
+        # rides the channel axis as block-banded 2D convs (conv3d_folded);
+        # one transpose in, one out — no per-layer layout flips.
+        kw = dict(ndim=3, normalization=self.normalization, folded=True,
+                  dtype=self.dtype)
         s5 = (1, 2, 2) if self.has_four_depths else 2
         op5 = (0, 1, 1) if self.has_four_depths else 1
 
+        x = x.transpose(0, 2, 3, 1, 4)                # (B, H, W, D, C)
         conv0 = ConvBnRelu(b, 3, padding=1, name="conv0", **kw)(x, train)
         conv2 = ConvBnRelu(2 * b, 3, padding=1, name="conv2", **kw)(
             ConvBnRelu(2 * b, 3, stride=2, padding=1, name="conv1", **kw)(conv0, train), train)
@@ -42,9 +48,10 @@ class CostRegNet(nn.Module):
 
         kernel, _ = _ConvParams((3, 3, 3, x.shape[-1], 1), False,
                                 name="prob")()
-        logits = conv3d_via_2d(x.astype(self.dtype),
-                               kernel.astype(self.dtype), (1, 1, 1), (1, 1, 1))
-        return logits  # (B, D, H, W, 1)
+        logits = conv3d_folded_nhwdc(x.astype(self.dtype),
+                                     kernel.astype(self.dtype),
+                                     (1, 1, 1), (1, 1, 1))
+        return logits.transpose(0, 3, 1, 2, 4)        # (B, D, H, W, 1)
 
 
 class VolumeGate(nn.Module):

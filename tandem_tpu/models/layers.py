@@ -121,6 +121,40 @@ def conv3d_folded(x, kernel, stride, padding):
     return y.reshape(B, Ho, Wo, D_out, O).transpose(0, 3, 1, 2, 4)
 
 
+def conv3d_folded_nhwdc(x5, kernel, stride, padding):
+    """conv3d_folded operating on the FOLDED layout (B, H, W, D, C) so a
+    whole 3D U-Net can stay folded with no per-layer transposes (reshapes
+    between (B,H,W,D,C) and (B,H,W,D*C) are views, not data movement)."""
+    B, H, W, D, I = x5.shape
+    kd, kh, kw, _, O = kernel.shape
+    sd, sh, sw = stride
+    pd, ph, pw = padding
+    D_out = (D + 2 * pd - kd) // sd + 1
+    big = _fold_depth_kernel(kernel, _depth_band(kd, D, D_out, sd, pd,
+                                                 transpose=False))
+    y = jax.lax.conv_general_dilated(
+        x5.reshape(B, H, W, D * I), big, window_strides=(sh, sw),
+        padding=[(ph, ph), (pw, pw)],
+        dimension_numbers=("NHWC", "HWIO", "NHWC"))
+    return y.reshape(B, y.shape[1], y.shape[2], D_out, O)
+
+
+def deconv3d_folded_nhwdc(x5, kernel, stride, padding, output_padding):
+    """deconv3d_folded on the folded (B, H, W, D, C) layout."""
+    B, H, W, D, I = x5.shape
+    kd, kh, kw, _, O = kernel.shape
+    sd, sh, sw = stride
+    pd, ph, pw = padding
+    od, oh, ow = output_padding
+    assert kd == 3 and pd == 1, "CostRegNet deconv configuration"
+    D_out = D if sd == 1 else 2 * D
+    big = _fold_depth_kernel(kernel, _depth_band(kd, D, D_out, sd, pd,
+                                                 transpose=True))
+    y = _deconv2d(x5.reshape(B, H, W, D * I), big, (sh, sw), (ph, pw),
+                  (oh, ow))
+    return y.reshape(B, y.shape[1], y.shape[2], D_out, O)
+
+
 def deconv3d_folded(x, kernel, stride, padding, output_padding):
     """Exact 3D transposed convolution as one 2D transposed conv with the
     depth axis folded into banded channels (see conv3d_folded; kernel is
@@ -221,6 +255,7 @@ class ConvBnRelu(nn.Module):
     padding: IntOrTuple = 0
     relu: bool = True
     normalization: Optional[str] = "batchnorm"
+    folded: bool = False        # 3D input in folded (B, H, W, D, C) layout
     dtype: jnp.dtype = jnp.float32
 
     @nn.compact
@@ -233,8 +268,8 @@ class ConvBnRelu(nn.Module):
             in_feat = x.shape[-1]
             kernel, bias = _ConvParams(k + (in_feat, self.features),
                                        not use_norm, name="conv")()
-            x = conv3d_folded(x.astype(self.dtype),
-                              kernel.astype(self.dtype), s, p)
+            conv = conv3d_folded_nhwdc if self.folded else conv3d_folded
+            x = conv(x.astype(self.dtype), kernel.astype(self.dtype), s, p)
             if bias is not None:
                 x = x + bias
         else:
@@ -286,6 +321,7 @@ class DeconvBnRelu(nn.Module):
     output_padding: IntOrTuple = 1
     relu: bool = True
     normalization: Optional[str] = "batchnorm"
+    folded: bool = False        # input in folded (B, H, W, D, C) layout
     dtype: jnp.dtype = jnp.float32
 
     @nn.compact
@@ -303,8 +339,10 @@ class DeconvBnRelu(nn.Module):
             nn.initializers.variance_scaling(1.0 / 3.0, "fan_in", "uniform"),
             k + (in_feat, self.features))
         if n == 3:
-            y = deconv3d_folded(x.astype(self.dtype),
-                                kernel.astype(self.dtype), s, p, op)
+            deconv = deconv3d_folded_nhwdc if self.folded \
+                else deconv3d_folded
+            y = deconv(x.astype(self.dtype), kernel.astype(self.dtype),
+                       s, p, op)
         else:
             pad = [(k[i] - 1 - p[i], k[i] - 1 - p[i] + op[i])
                    for i in range(n)]

@@ -214,31 +214,39 @@ def _image_gradients(images):
 
 
 def _flat_trilerp(stacked, px, py, f_idx, H, W):
-    """Bilinear-sample (F, H, W, C) ``stacked`` at (px, py) in frame f_idx
-    for ALL samples with ONE un-batched wide-row gather: the four bilinear
-    corners are packed side by side into (F, H-1, W-1, 4C) rows (TPU gather
-    cost scales with row count, not width — one 4C-row gather is ~10x faster
-    than four C-row gathers), and the frame is folded into the row index
-    (batched/tiny gathers are the TPU killer). Callers mask samples near the
-    border, so the index clip never changes a used value."""
+    """Bilinear-sample (F, H, W, C) ``stacked`` at (px, py) where axis 1 of
+    px/py is the frame (px[:, f] samples frame f). The four bilinear corners
+    are packed side by side into (H-1, W-1, 4C) rows (TPU gather cost scales
+    with row count, not width — one 4C-row gather is ~10x faster than four
+    C-row gathers) and each frame is gathered from ITS OWN table: per-frame
+    tables stay under the ~34 MB cache cliff past which TPU gather
+    throughput drops ~5x (the F-folded table was 147 MB). Callers mask
+    samples near the border, so the index clip never changes a used value.
+
+    :param f_idx: unused (kept for signature stability); the frame IS axis 1
+    """
+    F = stacked.shape[0]
     C = stacked.shape[-1]
     packed = jnp.concatenate(
         [stacked[:, :-1, :-1], stacked[:, :-1, 1:],
          stacked[:, 1:, :-1], stacked[:, 1:, 1:]], -1)  # (F, H-1, W-1, 4C)
-    flat = packed.reshape(-1, 4 * C)
+    N = px.shape[0]
     x0 = jnp.floor(px)
     y0 = jnp.floor(py)
     wx = px - x0
     wy = py - y0
     xi = jnp.clip(x0.astype(jnp.int32), 0, W - 2)
     yi = jnp.clip(y0.astype(jnp.int32), 0, H - 2)
-    base = (f_idx * (H - 1) + yi) * (W - 1) + xi
-    sh = base.shape
-    rows = flat[base.reshape(-1)].reshape(-1, 4, C)
-    w = jnp.stack([(1 - wx) * (1 - wy), wx * (1 - wy),
-                   (1 - wx) * wy, wx * wy], -1).reshape(-1, 4)
-    out = jnp.einsum("mkc,mk->mc", rows, w)
-    return out.reshape(sh + (C,))
+    base = yi * (W - 1) + xi                           # (N, F, 8)
+    wts = jnp.stack([(1 - wx) * (1 - wy), wx * (1 - wy),
+                     (1 - wx) * wy, wx * wy], -1)      # (N, F, 8, 4)
+    outs = []
+    for f in range(F):
+        rows = packed[f].reshape(-1, 4 * C)[base[:, f].reshape(-1)]
+        v = rows.reshape(-1, 4, C)
+        outs.append(jnp.einsum("mkc,mk->mc", v,
+                               wts[:, f].reshape(-1, 4)).reshape(N, -1, C))
+    return jnp.stack(outs, 1)                          # (N, F, 8, C)
 
 
 def _system_terms(state: BAState, images, K):

@@ -38,6 +38,7 @@ def test_tandem_dataset_cli(tmp_path):
     assert len(lines) >= 8
 
 
+@pytest.mark.slow
 def test_tandem_export_and_golden(tmp_path):
     from tandem_tpu.cli import tandem_export as te
     from tandem_tpu.models.cva_mvsnet import CvaMVSNet

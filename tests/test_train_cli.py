@@ -10,6 +10,7 @@ cv2 = pytest.importorskip("cv2")
 from tests.test_data import write_scene
 
 
+@pytest.mark.slow
 def test_train_cli_one_epoch(tmp_path):
     root = tmp_path / "replica"
     os.makedirs(root, exist_ok=True)
