@@ -65,15 +65,28 @@ def main():
     dmax = jax.device_put(np.full((1,), 6.0, np.float32))
     discard = jax.device_put(np.full((1,), 10.0, np.float32))
 
+    # The runtime path (MvsnetRunner): cascade and edge filter as two
+    # chained jits — inside one program XLA scheduled the filter ~10x worse.
+    from tandem_tpu.models.edge_filter import depth_filter_edges
+
     @jax.jit
-    def forward(variables, image, K1, K2, K3, c2w, dmin, dmax, discard):
+    def forward(variables, image, K1, K2, K3, c2w, dmin, dmax):
         out = model.apply(variables, image, (K1, K2, K3), c2w, dmin, dmax,
-                          depth_filter_discard_percentage=discard,
+                          depth_filter_discard_percentage=None,
                           train=False)
         return out.stage3.depth, out.stage3.confidence
 
-    margs = (variables, image, *Ks, c2w, dmin, dmax, discard)
-    dt_model = device_time(lambda: forward(*margs), iters=8)
+    @jax.jit
+    def edge_filter(depth, conf, discard):
+        fd, mask = depth_filter_edges(depth, discard)
+        return fd, jnp.where(mask, 0.0, conf)
+
+    margs = (variables, image, *Ks, c2w, dmin, dmax)
+
+    def model_step():
+        d, c = forward(*margs)
+        return edge_filter(d, c, discard)
+    dt_model = device_time(model_step, iters=8)
 
     # --- TSDF fusion + render (per-KF mapping work) ---------------------
     cfg = TsdfConfig()
@@ -91,10 +104,15 @@ def main():
     n_alloc = int(vol.n_allocated)
     n_pad = -(-max(n_alloc, 1) // 4096) * 4096
 
+    # integrate() donates the volume buffers, so thread the state through
+    # (reusing a donated input raises INVALID_ARGUMENT on real TPU).
+    state = {"vol": vol}
+
     def fusion_step():
-        v2 = integrate(cfg, vol, depth_d, color_d, Kd, pose,
-                       n_allocated=n_pad)
-        rd = render_depth_splat(cfg, v2, Kd, pose, H, W, n_allocated=n_pad)
+        state["vol"] = integrate(cfg, state["vol"], depth_d, color_d, Kd,
+                                 pose, n_allocated=n_pad)
+        rd = render_depth_splat(cfg, state["vol"], Kd, pose, H, W,
+                                n_allocated=n_pad)
         return rd
     dt_fusion = device_time(fusion_step, iters=8)
 

@@ -50,16 +50,28 @@ class MvsnetRunner:
         self._pending = None
         self._ready = True
 
-        def forward(variables, image, Ks, c2w, dmin, dmax, discard):
+        def forward(variables, image, Ks, c2w, dmin, dmax):
             if image.dtype == jnp.uint8:
                 # Images ship as uint8 (4x less host->device traffic); the
                 # [0,1] normalization happens on device.
                 image = image.astype(jnp.float32) / 255.0
-            return model.apply(variables, image, Ks, c2w, dmin, dmax,
-                               depth_filter_discard_percentage=discard,
-                               train=False)
+            out = model.apply(variables, image, Ks, c2w, dmin, dmax,
+                              depth_filter_discard_percentage=None,
+                              train=False)
+            return out.stage3.depth, out.stage3.confidence
+
+        def edge_filter(depth, conf, discard):
+            # The edge filter runs as its OWN chained jit: inside the
+            # cascade program XLA's scheduling made the same ops ~10x more
+            # expensive (60 ms vs 5 ms measured); two async dispatches cost
+            # nothing and the composition is mathematically identical
+            # (filtering is a pure post-pass, cva_mvsnet.py:165-177).
+            from ..models.edge_filter import depth_filter_edges
+            fd, mask = depth_filter_edges(depth, discard)
+            return fd, jnp.where(mask, 0.0, conf)
 
         self._forward = jax.jit(forward)
+        self._edge_filter = jax.jit(edge_filter)
 
     # --- packing ---------------------------------------------------------
     @staticmethod
@@ -98,7 +110,10 @@ class MvsnetRunner:
              jnp.asarray(c2w), jnp.full((1,), depth_min, jnp.float32),
              jnp.full((1,), depth_max, jnp.float32),
              jnp.full((1,), discard_percentage, jnp.float32)), self.device)
-        self._pending = self._forward(self.variables, *dev_args)
+        disc = dev_args[-1]
+        depth, conf = self._forward(self.variables, *dev_args[:-1])
+        fdepth, fconf = self._edge_filter(depth, conf, disc)
+        self._pending = (fdepth, fconf, depth, conf)
 
     def get_result(self, device: bool = False):
         """Blocks until the pending computation finishes; returns stage3
@@ -106,14 +121,13 @@ class MvsnetRunner:
         on device (the TSDF consumer is jitted — avoids a download+reupload
         round trip)."""
         assert not self._ready, "GetResult called before CallAsync"
-        out = self._pending
-        s3 = out.stage3
+        fdepth, fconf, depth, conf = self._pending
         conv = (lambda x: x) if device else np.asarray
         result = {
-            "depth": conv(s3.depth[0]),
-            "confidence": conv(s3.confidence[0]),
-            "depth_dense": conv(s3.depth_dense[0]),
-            "confidence_dense": conv(s3.confidence_dense[0]),
+            "depth": conv(fdepth[0]),
+            "confidence": conv(fconf[0]),
+            "depth_dense": conv(depth[0]),
+            "confidence_dense": conv(conf[0]),
         }
         self._pending = None
         self._ready = True

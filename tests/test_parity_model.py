@@ -134,3 +134,56 @@ def test_model_parity_with_edge_filter():
         assert agree > 0.98, f"{stage} discard-mask agreement {agree}"
         both = (ref_depth > 0) & (got_depth > 0)
         assert np.abs(ref_depth[both] - got_depth[both]).mean() < 1e-3
+
+
+def test_runner_split_matches_monolithic_model():
+    """MvsnetRunner runs the cascade and the edge filter as two chained
+    jits (scheduling perf); outputs must equal the monolithic
+    model.apply(..., depth_filter_discard_percentage=...) exactly."""
+    import jax.numpy as jnp
+    from tandem_tpu.models.cva_mvsnet import CvaMVSNet
+    from tandem_tpu.pipeline.mvsnet_runner import MvsnetRunner, init_variables
+
+    H, W, V = 64, 96, 7
+    rng = np.random.RandomState(0)
+    model = CvaMVSNet(view_aggregation=True)
+    variables = init_variables(model, H, W, V)
+    runner = MvsnetRunner(model, variables, H, W, view_num=V)
+
+    bgrs = [rng.randint(0, 255, (H, W, 3)).astype(np.uint8)
+            for _ in range(V)]
+    poses = []
+    for v in range(V):
+        T = np.eye(4, dtype=np.float32)
+        T[0, 3] = 0.05 * v
+        poses.append(T)
+    K = np.array([[60.0, 0, (W - 1) / 2], [0, 60.0, (H - 1) / 2],
+                  [0, 0, 1]], np.float32)
+
+    runner.call_async(bgrs, poses, K, 0.5, 6.0, discard_percentage=10.0)
+    res = runner.get_result()
+
+    image, Ks, c2w = runner.pack_inputs(bgrs, poses, K)
+    out = model.apply(
+        variables, jnp.asarray(image.astype(np.float32) / 255.0),
+        tuple(jnp.asarray(k) for k in Ks), jnp.asarray(c2w),
+        jnp.full((1,), 0.5, jnp.float32), jnp.full((1,), 6.0, jnp.float32),
+        depth_filter_discard_percentage=jnp.full((1,), 10.0, jnp.float32),
+        train=False)
+    # The raw (pre-filter) outputs must match exactly.
+    np.testing.assert_allclose(res["depth_dense"],
+                               np.asarray(out.stage3.depth_dense[0]),
+                               rtol=1e-5, atol=1e-5)
+    np.testing.assert_allclose(res["confidence_dense"],
+                               np.asarray(out.stage3.confidence_dense[0]),
+                               rtol=1e-5, atol=1e-5)
+    # Filtered outputs: pixels whose edge value TIES the discard threshold
+    # can flip between the two compilations (float reduction order); allow
+    # a handful of mask flips, everything else must match.
+    for key, ref in (("depth", out.stage3.depth[0]),
+                     ("confidence", out.stage3.confidence[0])):
+        a, b = res[key], np.asarray(ref)
+        bad = np.abs(a - b) > 1e-5 + 1e-5 * np.abs(b)
+        assert bad.mean() < 0.005, (key, bad.mean())
+        # every mismatch is a mask flip: one side exactly zero
+        assert np.all((a[bad] == 0) | (b[bad] == 0)), key
