@@ -249,14 +249,20 @@ class PrefetchLoader {
     worker_.join();
   }
 
-  // Blocks until frame idx is decoded; fills dims. false = decode failed.
+  // Blocks until frame idx is decoded; fills dims. false = unavailable
+  // (decode failed, out of range, or a BACKWARD seek past an already-spent
+  // frame — the worker only decodes forward; the caller falls back to a
+  // synchronous read instead of waiting forever).
   bool Info(int idx, int* h, int* w, int* c) {
     std::unique_lock<std::mutex> lk(m_);
     if (idx < 0 || idx >= (int)paths_.size()) return false;
     if (idx > consumer_) consumer_ = idx;   // advance the window
     cv_.notify_all();
-    ready_cv_.wait(lk, [&] { return cache_.count(idx) || failed_.count(idx); });
-    if (failed_.count(idx)) return false;
+    ready_cv_.wait(lk, [&] {
+      return cache_.count(idx) || failed_.count(idx) ||
+             (idx < decoded_next_ && !cache_.count(idx));
+    });
+    if (!cache_.count(idx)) return false;
     const cv::Mat& m = cache_[idx];
     *h = m.rows;
     *w = m.cols;
@@ -297,6 +303,7 @@ class PrefetchLoader {
           failed_[next] = true;
         else
           cache_[next] = m;
+        decoded_next_ = next + 1;
         ready_cv_.notify_all();
       }
       next++;
@@ -307,6 +314,7 @@ class PrefetchLoader {
   int ahead_;
   bool stop_;
   int consumer_;
+  int decoded_next_ = 0;   // worker's forward watermark (under m_)
   std::thread worker_;
   std::mutex m_;
   std::condition_variable cv_, ready_cv_;

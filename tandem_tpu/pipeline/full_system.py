@@ -396,16 +396,28 @@ class FullSystem:
         min_frames = 5                       # setting_minFrames
         min_frame_age = 1                    # setting_minFrameAge
 
-        # One bundled device->host fetch for the window statistics.
-        pt_valid, pt_frame, aff = jax.device_get(
+        # One bundled device->host fetch for the window statistics
+        # (BA point occupancy, affine, and each KF's immature statuses).
+        imm_kfs = [k for k in active if k.immature is not None]
+        pt_valid, pt_frame, aff, imm_status = jax.device_get(
             (self.ba_state.pt_valid, self.ba_state.pt_frame,
-             self.ba_state.aff))
+             self.ba_state.aff,
+             [k.immature.status for k in imm_kfs]))
         valid_per_slot = np.bincount(pt_frame[pt_valid],
                                      minlength=len(self.kf_of_slot))
+        imm_alive = {k: int(((st != 3) & (st != 2)).sum())   # not OUTLIER/OOB
+                     for k, st in zip(imm_kfs, imm_status)}
 
         flagged: List[Keyframe] = []
         for kf in active:
-            n_in = int(valid_per_slot[kf.slot]) + kf.n_immature
+            # in = surviving BA points + alive immature; out = everything
+            # that was ever created for this KF and died. Active points are
+            # created by activation too, so track the peak as the total
+            # (in < minPointsRemaining * (in+out), FullSystemMarginalize).
+            n_alive_imm = imm_alive.get(kf, kf.n_immature)
+            n_pts = int(valid_per_slot[kf.slot])
+            kf.n_points_total = max(kf.n_points_total, n_pts)
+            n_in = n_pts + n_alive_imm
             n_total = max(kf.n_points_total + kf.n_immature, 1)
             log_aff = abs(float(aff[latest.slot, 0] - aff[kf.slot, 0]))
             if ((n_in < 0.05 * n_total or log_aff > 0.7)
@@ -666,10 +678,13 @@ def _assign_slot_jit(state: BAState, slot_images, slot, c2w, image):
     return state, slot_images
 
 
-@jax.jit
-def _insert_points_jit(state: BAState, slot, uv, idepth, ok, image):
-    """Scatter candidate points into free BA point slots (rank-compaction
-    like _activate_and_insert, colors sampled in-program)."""
+def _scatter_new_points(state: BAState, slot, uv, idepth, ok, image):
+    """Rank-compact ``ok`` candidates into free BA point slots and scatter
+    all point fields (colors sampled in-program). Shared by the host insert
+    path and device-side activation.
+
+    :return: (new BAState, use mask of candidates that got a slot)
+    """
     N = state.pt_valid.shape[0]
     free = ~state.pt_valid
     free_rank = jnp.cumsum(free.astype(jnp.int32)) - 1
@@ -692,7 +707,14 @@ def _insert_points_jit(state: BAState, slot, uv, idepth, ok, image):
         pt_idepth=state.pt_idepth.at[dest].set(
             jnp.maximum(idepth, 1e-3), mode="drop"),
         pt_color=state.pt_color.at[dest].set(colors, mode="drop"),
-        pt_valid=state.pt_valid.at[dest].set(True, mode="drop"))
+        pt_valid=state.pt_valid.at[dest].set(True, mode="drop")), use
+
+
+@jax.jit
+def _insert_points_jit(state: BAState, slot, uv, idepth, ok, image):
+    """Scatter candidate points into free BA point slots."""
+    new_state, _ = _scatter_new_points(state, slot, uv, idepth, ok, image)
+    return new_state
 
 
 @partial(jax.jit, static_argnums=(2, 3, 4))
@@ -735,29 +757,7 @@ def _activate_and_insert(state: BAState, pts, host_slot, host_c2w, tgt_c2w,
     from ..tracking.immature import activate_points
 
     idep, ok = activate_points(pts, host_c2w, tgt_c2w, tgt_img, K)
-
-    N = state.pt_valid.shape[0]
-    free = ~state.pt_valid
-    free_rank = jnp.cumsum(free.astype(jnp.int32)) - 1
-    slot_of_rank = jnp.zeros(N, jnp.int32).at[
-        jnp.where(free, free_rank, N)].set(
-        jnp.arange(N, dtype=jnp.int32), mode="drop")
-    n_free = jnp.sum(free.astype(jnp.int32))
-
-    ok_rank = jnp.cumsum(ok.astype(jnp.int32)) - 1
-    use = ok & (ok_rank < n_free)
-    dest = jnp.where(use, slot_of_rank[jnp.clip(ok_rank, 0, N - 1)], N)
-
-    u = pts.uv[:, 0:1] + PATTERN[None, :, 0]
-    v = pts.uv[:, 1:2] + PATTERN[None, :, 1]
-    colors = _bilinear(host_img, u.reshape(-1), v.reshape(-1)).reshape(-1, 8)
-
-    new_state = state._replace(
-        pt_frame=state.pt_frame.at[dest].set(host_slot, mode="drop"),
-        pt_uv=state.pt_uv.at[dest].set(pts.uv, mode="drop"),
-        pt_idepth=state.pt_idepth.at[dest].set(
-            jnp.maximum(idep, 1e-3), mode="drop"),
-        pt_color=state.pt_color.at[dest].set(colors, mode="drop"),
-        pt_valid=state.pt_valid.at[dest].set(True, mode="drop"))
+    new_state, use = _scatter_new_points(state, host_slot, pts.uv, idep, ok,
+                                         host_img)
     new_pts = pts._replace(valid=pts.valid & ~use)
     return new_state, new_pts

@@ -65,6 +65,7 @@ class Settings:
     camera: str = ""
     replay: str = ""
     demo_secs: float = 30.0
+    record: str = ""     # capture the session as a dataset folder + calib
 
 
 def preset(name: str) -> Settings:
@@ -92,15 +93,14 @@ def preset(name: str) -> Settings:
     return s
 
 
-_BOOL_KEYS = {"tsdf_fusion", "preload", "quiet", "nolog", "reverse", "rgbd",
-              "dr_timing", "dense_tracking_with_dense_depth_only",
-              "mvsnet_flag"}
-_INT_KEYS = {"min_frames", "max_frames", "max_opt_iterations", "mode",
-             "tracking_step", "dr_mvsnet_view_num", "mesh_extraction_freq",
-             "start", "end", "min_opt_iterations"}
-_FLOAT_KEYS = {"desired_immature_density", "desired_point_density",
-               "kf_global_weight", "huber_th", "coarse_cutoff_th",
-               "mvsnet_discard_percentage", "rgbd_depth_scale", "demo_secs"}
+# Key types derive from the dataclass annotations so a newly added field
+# can never silently parse as a string (a "0" value is truthy).
+_BOOL_KEYS = {f.name for f in dataclasses.fields(Settings)
+              if f.type in ("bool", bool)}
+_INT_KEYS = {f.name for f in dataclasses.fields(Settings)
+             if f.type in ("int", int)}
+_FLOAT_KEYS = {f.name for f in dataclasses.fields(Settings)
+               if f.type in ("float", float)}
 
 
 def parse_arguments(argv, base: Optional[Settings] = None) -> Settings:

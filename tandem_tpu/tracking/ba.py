@@ -416,22 +416,34 @@ def ba_iterate(state: BAState, images, K, iters: int = 6,
     # Gauge priors: lock frame 0 (pose+aff); weak idepth prior.
     gauge = jnp.zeros((P,)).at[:8].set(1e8)
 
-    e0 = _total_energy(state, images, K)
+    def prior_energy(cur):
+        d = _prior_delta(cur)
+        return 2.0 * jnp.dot(cur.bm, d) + jnp.dot(d, cur.Hm @ d)
+
+    def system_of(cur):
+        r, Jf, Ji, w, _ = _system_terms(cur, images, K)
+        H_ff, b_f, H_pp, H_fp, b_p, e_res = _assemble(cur, r, Jf, Ji, w)
+        return H_ff, b_f, H_pp, H_fp, b_p, e_res + prior_energy(cur)
+
+    # The residual system of the ACCEPTED state rides in the loop carry so
+    # each LM iteration evaluates _system_terms exactly ONCE (the candidate
+    # evaluation doubles as the next iteration's system on accept; XLA
+    # cannot CSE across while_loop iterations).
+    sys0 = system_of(state)
 
     def cond(carry):
         it, done, *_ = carry
         return (it < iters) & ~done
 
     def body(carry):
-        it, done, poses, aff, idepth, lam, energy = carry
+        (it, done, poses, aff, idepth, lam, energy,
+         H_ff_r, b_f_r, H_pp, H_fp, b_p) = carry
         cur = state._replace(poses=poses, aff=aff, pt_idepth=idepth)
-        r, Jf, Ji, w, active = _system_terms(cur, images, K)
-        H_ff, b_f, H_pp, H_fp, b_p, _ = _assemble(cur, r, Jf, Ji, w)
 
         # FEJ prior: fixed Hm, b transported to the current estimate.
         d = _prior_delta(cur)
-        H_ff = H_ff + cur.Hm + jnp.diag(gauge)
-        b_f = b_f + cur.bm + cur.Hm @ d
+        H_ff = H_ff_r + cur.Hm + jnp.diag(gauge)
+        b_f = b_f_r + cur.bm + cur.Hm @ d
 
         H_pp_safe = H_pp + idepth_prior
         # Schur complement over points
@@ -462,7 +474,7 @@ def ba_iterate(state: BAState, images, K, iters: int = 6,
 
         cand = state._replace(poses=new_poses, aff=new_aff,
                               pt_idepth=new_id)
-        e_new = _total_energy(cand, images, K)
+        cH_ff, cb_f, cH_pp, cH_fp, cb_p, e_new = system_of(cand)
         accept = jnp.isfinite(e_new) & (e_new < energy)
 
         # canbreak: accepted step that is already tiny
@@ -474,12 +486,15 @@ def ba_iterate(state: BAState, images, K, iters: int = 6,
         return (it + 1, done_new,
                 sel(new_poses, poses), sel(new_aff, aff),
                 sel(new_id, idepth), lam_new,
-                jnp.where(accept, e_new, energy))
+                jnp.where(accept, e_new, energy),
+                sel(cH_ff, H_ff_r), sel(cb_f, b_f_r), sel(cH_pp, H_pp),
+                sel(cH_fp, H_fp), sel(cb_p, b_p))
 
     carry = (jnp.int32(0), jnp.bool_(False), state.poses, state.aff,
-             state.pt_idepth, jnp.float32(1e-3), e0)
+             state.pt_idepth, jnp.float32(1e-3), sys0[5],
+             sys0[0], sys0[1], sys0[2], sys0[3], sys0[4])
     carry = lax.while_loop(cond, body, carry)
-    _, _, poses, aff, idepth, _, energy = carry
+    _, _, poses, aff, idepth, _, energy, *_ = carry
     return state._replace(poses=poses, aff=aff, pt_idepth=idepth), energy
 
 

@@ -83,9 +83,13 @@ def _compact_level(img, idepth, weight, cap: int):
     H, W = img.shape
     flat = (weight > 0).reshape(-1)
     count = jnp.sum(flat.astype(jnp.int32))
-    step = jnp.maximum((count + cap - 1) // cap, 1)
+    # Even decimation keeping ~cap points exactly: keep valid point r iff
+    # floor(r*cap/count) advances. (A ceil-stride `rank % step` halves the
+    # yield the moment count exceeds cap by one.)
     rank = jnp.cumsum(flat.astype(jnp.int32)) - 1
-    keep = flat & (rank % step == 0)
+    cnt = jnp.maximum(count, 1)
+    keep = flat & ((rank * cap) // cnt != ((rank - 1) * cap) // cnt)
+    keep = jnp.where(count <= cap, flat, keep)
     idx = jnp.nonzero(keep, size=cap, fill_value=-1)[0]
     ok = idx >= 0
     idxc = jnp.maximum(idx, 0)

@@ -39,7 +39,7 @@ from ..core.pyramid import build_pyramid, pyramid_intrinsics
 from ..core.se3 import se3_exp, se3_log
 from ..ops.linalg import solve_gauss_jordan
 from .ba import PATTERN
-from .coarse_tracker import _pack_level
+from .coarse_tracker import _bilinear_with_grad, _pack_level
 
 NUM_LEVELS = 6
 MAX_ITERS = (5, 5, 10, 30, 50, 50)       # maxIterations[] (:88), top reuses 50
@@ -206,7 +206,7 @@ def _calc_res_gs(T, aff, idepth, is_good, energy_old, iR, lvl_const,
     new_id = idepth[:, None] / pt[..., 2]
     inb = (Ku > 1) & (Kv > 1) & (Ku < Wl - 2) & (Kv < Hl - 2) & (new_id > 0)
 
-    hit, gxi, gyi = _bilinear12(packed, Hl, Wl, Ku, Kv)
+    hit, gxi, gyi = _bilinear_with_grad(packed, Hl, Wl, Ku, Kv)
     r = hit - gain * pcolor - aff[1]
     hw_e = jnp.where(jnp.abs(r) < HUBER_TH, 1.0,
                      HUBER_TH / jnp.maximum(jnp.abs(r), 1e-12))
@@ -283,25 +283,6 @@ def _calc_res_gs(T, aff, idepth, is_good, energy_old, iR, lvl_const,
                 maxstep=maxstep, snapped=snapped_new)
 
 
-def _bilinear12(packed, H, W, x, y):
-    """One packed-row gather of (img, gx, gy) x 4 corners (see
-    coarse_tracker._pack_level)."""
-    x0 = jnp.floor(x)
-    y0 = jnp.floor(y)
-    wx = x - x0
-    wy = y - y0
-    xi = jnp.clip(x0.astype(jnp.int32), 0, W - 2)
-    yi = jnp.clip(y0.astype(jnp.int32), 0, H - 2)
-    rows = packed.reshape(-1, 12)[(yi * (W - 1) + xi).reshape(-1)]
-    v = rows.reshape(-1, 4, 3)
-    w = jnp.stack([(1 - wx) * (1 - wy), wx * (1 - wy),
-                   (1 - wx) * wy, wx * wy], -1).reshape(-1, 4)
-    out = jnp.einsum("mkc,mk->mc", v, w)
-    sh = x.shape
-    return (out[:, 0].reshape(sh), out[:, 1].reshape(sh),
-            out[:, 2].reshape(sh))
-
-
 def _lm_level_joint(lvl_const, T, aff, idepth, iR, is_good, energy, snapped,
                     max_iter: int):
     """One level of trackFrame's joint LM (CoarseInitializer.cpp:130-245)."""
@@ -309,10 +290,12 @@ def _lm_level_joint(lvl_const, T, aff, idepth, iR, is_good, energy, snapped,
 
     res0 = _calc_res_gs(T, aff, idepth, is_good, energy, iR, lvl_const,
                         snapped)
-    # applyStep at :132: the pre-loop system becomes the accepted state
+    # applyStep at :132: the pre-loop system becomes the accepted state.
+    # NOTE: snapped is NOT taken from res0 — the reference latches it only
+    # inside the accept branch (:213), never from the pre-loop evaluation.
     state0 = (jnp.int32(0), jnp.int32(0), jnp.bool_(False),
               T, aff, idepth, iR, res0["good"], res0["energy"],
-              res0["lastH"], res0["snapped"],
+              res0["lastH"], snapped,
               res0["H"], res0["b"], res0["Hsc"], res0["bsc"], res0["Jb"],
               res0["maxstep"], res0["E_photo"], res0["E_alpha"],
               jnp.float32(0.1))
@@ -368,7 +351,10 @@ def _lm_level_joint(lvl_const, T, aff, idepth, iR, is_good, energy, snapped,
                 sel(T_new, T), sel(aff_new, aff), sel(id_new, idepth),
                 sel(iR_acc, iR), sel(res["good"], good),
                 sel(res["energy"], energy), sel(res["lastH"], lastH),
-                snapped | res["snapped"],
+                # snapped latches ONLY from an accepted step (:213); a
+                # rejected diverged candidate must not flip the prior
+                # schedule or start the done countdown.
+                snapped | (accept & res["snapped"]),
                 sel(res["H"], H), sel(res["b"], b), sel(res["Hsc"], Hsc),
                 sel(res["bsc"], bsc), sel(res["Jb"], Jb),
                 sel(res["maxstep"], maxstep),

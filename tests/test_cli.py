@@ -94,3 +94,21 @@ def test_tandem_ate_cli(tmp_path, capsys):
     scale = float([ln for ln in out.splitlines()
                    if "alignment_scale" in ln][0].split()[1])
     assert abs(scale - 2.0) < 1e-6
+
+
+def test_tandem_demo_record_replay(tmp_path):
+    """Demo CLI in replay mode with the session recorder: the captured
+    folder must itself be dataset-compatible (calib + times + images)."""
+    img_dir, calib = _write_image_folder(tmp_path, n=10)
+    rec = tmp_path / "session"
+    out = tmp_path / "demo_out"
+    from tandem_tpu.cli.tandem_demo import main
+    main([f"replay={img_dir}", f"calib={calib}", "demo_secs=300",
+          f"record={rec}", f"result_folder={out}"])
+    assert (out / "result.txt").exists()
+    assert (rec / "camera.txt").exists()
+    times = (rec / "times.txt").read_text().strip().splitlines()
+    imgs = sorted(os.listdir(rec / "images"))
+    assert len(times) == len(imgs) == 10
+    first = (rec / "camera.txt").read_text().splitlines()[0].split()
+    assert first[0] == "Pinhole" and float(first[1]) == FX

@@ -88,7 +88,9 @@ def test_prefetch_image_loader(tmp_path):
         paths.append(p)
     pl = PrefetchImageLoader(paths, ahead=3)
     try:
-        for i in (0, 1, 2, 5, 6, 11):     # includes forward skips
+        # Forward skips AND backward seeks: the worker only decodes
+        # forward; backward reads must fall back (not deadlock).
+        for i in (0, 1, 2, 5, 6, 3, 11, 0):
             a = pl.read(i)
             b = cv2.imread(paths[i], cv2.IMREAD_COLOR)
             assert np.array_equal(a, b), i
