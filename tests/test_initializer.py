@@ -115,3 +115,19 @@ def test_full_system_monocular_init():
     scale = np.median(np.linalg.norm(gt[use], axis=1) / nrm[use])
     err = np.linalg.norm(est * scale - gt, axis=1)
     assert err.max() < 0.05, err.max()
+
+
+def test_initializer_rejects_pure_rotation():
+    """The alpha-energy cap ("snapped") requires real parallax: a
+    rotation-only sequence must NOT snap (CoarseInitializer.cpp:519-533 —
+    alphaEnergy stays below alphaK*npts without translation)."""
+    ref_img, _ = render_two_planes(np.eye(4))
+    st = make_initializer(jnp.asarray(ref_img), FX, FY, CX, CY)
+    for i in range(1, 8):
+        s = 0.01 * i
+        xi = np.array([0, 0, 0, s, -0.7 * s, 0.4 * s], np.float32)
+        img, _ = render_two_planes(np.asarray(se3_exp(jnp.array(xi))))
+        st, d = initializer_track(st, jnp.asarray(img), FX, FY, CX, CY,
+                                  (H, W))
+        assert not bool(np.asarray(d))
+    assert not bool(np.asarray(st.snapped))
