@@ -102,7 +102,7 @@ def main():
     vol = create_volume(cfg)
     vol = allocate_blocks(cfg, vol, depth_d, Kd, pose)
     n_alloc = int(vol.n_allocated)
-    n_pad = -(-max(n_alloc, 1) // 4096) * 4096
+    n_pad = -(-max(n_alloc, 1) // 2048) * 2048
 
     # integrate() donates the volume buffers, so thread the state through
     # (reusing a donated input raises INVALID_ARGUMENT on real TPU).
@@ -130,6 +130,44 @@ def main():
     dt_track = device_time(
         lambda: track_frame(ref, new_img, T0, aff0)["T"], iters=8)
 
+    # --- remaining per-KF device work (BA + tracking-ref rebuild) -------
+    from tandem_tpu.pipeline.full_system import _project_ba_points
+    from tandem_tpu.tracking.ba import (ba_iterate, create_ba_state,
+                                        remove_outliers)
+
+    Fw, Npts = 8, 2048
+    st = create_ba_state(Fw, Npts)
+    rng2 = np.random.RandomState(1)
+    poses = np.broadcast_to(np.eye(4, dtype=np.float32),
+                            (Fw, 4, 4)).copy()
+    poses[:, 0, 3] = 0.05 * np.arange(Fw)
+    st = st._replace(
+        poses=jnp.asarray(poses),
+        frame_valid=jnp.ones((Fw,), bool),
+        pt_frame=jnp.asarray(rng2.randint(0, Fw, Npts).astype(np.int32)),
+        pt_uv=jnp.asarray(
+            rng2.rand(Npts, 2).astype(np.float32) * [W - 20, H - 20] + 10),
+        pt_idepth=jnp.asarray(
+            (0.3 + rng2.rand(Npts) * 1.5).astype(np.float32)),
+        pt_valid=jnp.ones((Npts,), bool))
+    images = jnp.asarray(
+        rng2.rand(Fw, H, W).astype(np.float32) * 255.0)
+    Ktup = (fx, fx, (W - 1) / 2.0, (H - 1) / 2.0)
+    o = ba_iterate(st, images, Ktup, iters=6)
+    dt_ba = device_time(lambda: ba_iterate(st, images, Ktup, iters=6)[1],
+                        iters=6)
+    o = remove_outliers(st, images, Ktup)
+    dt_out = device_time(
+        lambda: remove_outliers(st, images, Ktup).pt_valid, iters=6)
+    dt_ref = device_time(
+        lambda: make_tracker_ref(new_img, fx, fx, (W - 1) / 2.0,
+                                 (H - 1) / 2.0, dense_idepth=idepth0,
+                                 dense_weight=jnp.asarray(grid)).pid[0],
+        iters=6)
+    c2w_j = jnp.asarray(np.eye(4, dtype=np.float32))
+    dt_proj = device_time(
+        lambda: _project_ba_points(st, c2w_j, Ktup, H, W)[0], iters=6)
+
     dt_kf = dt_model + dt_fusion
     kf_fps = 1.0 / dt_kf
     print(json.dumps({
@@ -140,7 +178,10 @@ def main():
     }))
     print(f"# honest device times (RTT {rtt*1e3:.1f} ms subtracted): "
           f"MVSNet {dt_model*1e3:.1f} ms | TSDF fuse+render "
-          f"{dt_fusion*1e3:.1f} ms | tracker frame {dt_track*1e3:.1f} ms "
+          f"{dt_fusion*1e3:.1f} ms | tracker frame {dt_track*1e3:.1f} ms | "
+          f"BA(6it,8KF,2k pts) {dt_ba*1e3:.1f} ms | outliers "
+          f"{dt_out*1e3:.1f} ms | tracker-ref build {dt_ref*1e3:.1f} ms | "
+          f"BA-point projection {dt_proj*1e3:.1f} ms "
           f"on {jax.devices()[0]}", file=sys.stderr)
 
 

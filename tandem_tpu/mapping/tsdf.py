@@ -228,7 +228,7 @@ def _pack_scan(depth, color, cam_to_world):
 
 
 def integrate(cfg: TsdfConfig, vol: TsdfVolume, depth, color, K, cam_to_world,
-              chunk: int = 4096, n_allocated: int = None):
+              chunk: int = 2048, n_allocated: int = None):
     """Fuse one (depth, color) scan into the volume.
 
     Host-driven chunking over ALLOCATED blocks only (the reference likewise
@@ -338,7 +338,7 @@ def _splat_chunk(cfg: TsdfConfig, zbuf, vol: TsdfVolume, K, w2c_R, w2c_t,
 
 
 def render_depth_splat(cfg: TsdfConfig, vol: TsdfVolume, K, cam_to_world,
-                       H: int, W: int, chunk: int = 4096,
+                       H: int, W: int, chunk: int = 2048,
                        fill_rounds: int = 2, n_allocated: int = None):
     """Render the model depth by splatting near-surface voxels with a
     z-buffer (occlusion = scatter-min) instead of per-ray sphere tracing.
@@ -392,7 +392,7 @@ def _fill_holes(depth, rounds: int = 2):
 
 
 def raycast(cfg: TsdfConfig, vol: TsdfVolume, K_and_pose, H: int, W: int,
-            chunk: int = 4096, n_allocated: int = None):
+            chunk: int = 2048, n_allocated: int = None):
     """Render depth + color from a virtual camera by splat-seeded sphere
     tracing.
 
@@ -426,7 +426,7 @@ def raycast(cfg: TsdfConfig, vol: TsdfVolume, K_and_pose, H: int, W: int,
     # the table exceeds the on-chip cache (~34 MB measured); bounding the
     # lookup tables by the allocated blocks (rounded, so recompiles are
     # rare) keeps every march/color gather on the fast path.
-    n_pool = min(-(-max(n, 1) // 4096) * 4096, cfg.pool_size)
+    n_pool = min(-(-max(n, 1) // 2048) * 2048, cfg.pool_size)
     return _raycast_march(cfg, vol, K, cam_to_world, zbuf, H, W,
                           n_pool=n_pool)
 
