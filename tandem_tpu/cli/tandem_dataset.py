@@ -123,6 +123,9 @@ def main(argv=None):
 
     end = min(s.end, len(reader)) if s.end >= 0 else len(reader)
     indices = list(range(s.start, end))
+    if s.reverse:
+        # Play the sequence backwards (commandline.cpp reverse=1).
+        indices.reverse()
 
     t_start = time.time()
     for i in indices:

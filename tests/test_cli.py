@@ -112,3 +112,16 @@ def test_tandem_demo_record_replay(tmp_path):
     assert len(times) == len(imgs) == 10
     first = (rec / "camera.txt").read_text().splitlines()[0].split()
     assert first[0] == "Pinhole" and float(first[1]) == FX
+
+
+def test_tandem_dataset_cli_reverse(tmp_path):
+    """reverse=1 plays the sequence backwards (commandline.cpp)."""
+    img_dir, calib = _write_image_folder(tmp_path, n=10)
+    out = tmp_path / "out_rev"
+    from tandem_tpu.cli.tandem_dataset import main
+    main([f"files={img_dir}", f"calib={calib}", f"result_folder={out}",
+          "reverse=1"])
+    lines = open(out / "result.txt").readlines()
+    assert len(lines) >= 8
+    ts = [float(l.split()[0]) for l in lines]
+    assert ts == sorted(ts, reverse=True)
