@@ -58,21 +58,26 @@ def plane_sweep_warp(src_features, ref_depth, *, src_K, src_cam_to_world,
     rot = ref_to_src[:, :3, :3]
     trans = ref_to_src[:, :3, 3]
 
-    # Homogeneous pixel rays (3, H*W) with integer pixel centers.
+    # Component-wise position math on (B, D, H, W) arrays: keeping H on the
+    # sublane axis and W on lanes gives full (8, 128) VPU tiles — a size-3
+    # xyz axis forces T(1,128) layouts that waste 7/8 of the vector unit
+    # (seen in the compiled HLO of the stacked formulation).
     xs = jnp.arange(W, dtype=f32)
     ys = jnp.arange(H, dtype=f32)
     gx, gy = jnp.meshgrid(xs, ys)  # (H, W)
-    xyz = jnp.stack([gx.reshape(-1), gy.reshape(-1),
-                     jnp.ones(H * W, dtype=f32)])  # (3, H*W)
+    depth = ref_depth.astype(f32)  # (B, D, H, W)
 
-    rot_xyz = jnp.einsum("bij,jn->bin", rot, xyz, precision=_PREC)  # (B, 3, H*W)
-    depth = ref_depth.reshape(B, 1, D, H * W).astype(f32)
-    proj = rot_xyz[:, :, None, :] * depth + trans[:, :, None, None]  # (B,3,D,HW)
+    def proj_component(i):
+        # rot[i] @ [x, y, 1] per pixel, then * depth + trans[i]
+        dir_i = (rot[:, i, 0][:, None, None] * gx
+                 + rot[:, i, 1][:, None, None] * gy
+                 + rot[:, i, 2][:, None, None])          # (B, H, W)
+        return dir_i[:, None] * depth + trans[:, i][:, None, None, None]
 
-    z = proj[:, 2]
+    z = proj_component(2)                                # (B, D, H, W)
     z_safe = jnp.where(jnp.abs(z) < 1e-12, 1e-12, z)
-    px = proj[:, 0] / z_safe  # (B, D, H*W)
-    py = proj[:, 1] / z_safe
+    px = proj_component(0) / z_safe
+    py = proj_component(1) / z_safe
 
     x_norm = px / (0.5 * (W - 1)) - 1.0
     y_norm = py / (0.5 * (H - 1)) - 1.0
@@ -85,9 +90,9 @@ def plane_sweep_warp(src_features, ref_depth, *, src_K, src_cam_to_world,
         src_features, px.reshape(B, D * H * W), py.reshape(B, D * H * W))
     warped = warped.reshape(B, D, H, W, C)
     # Zero out rays that hit behind the source camera (module.py:883-887).
-    warped = warped * (~mask_negative).reshape(B, D, H, W, 1).astype(warped.dtype)
+    warped = warped * (~mask_negative[..., None]).astype(warped.dtype)
 
-    mask_valid = (~(mask_negative | mask_outside)).reshape(B, D, H, W)
+    mask_valid = ~(mask_negative | mask_outside)
     return warped, mask_valid.astype(src_features.dtype)
 
 
