@@ -95,12 +95,14 @@ class TandemBackend:
             # One sync per keyframe: the host-side chunk count for the
             # integrate/render loops (avoids per-call blocking syncs).
             self._n_alloc = int(self.volume.n_allocated)
+            # Integrate, then render from the next tracking reference pose
+            # as two chunked passes. NOTE: fusing both into one chunk
+            # program (sharing the slicing + voxel coords) measured SLOWER
+            # on the v5e (37.6 vs 34.9 ms) — XLA schedules the combined
+            # program worse than the parts (same lesson as the edge-filter
+            # split, docs/PERF.md "fusion-boundary") — so the split stays.
             self.volume = integrate(self.cfg, self.volume, depth, rgb, Kj,
                                     pose, n_allocated=self._n_alloc)
-
-            # Render from the requested next tracking reference pose.
-            # Surface-splat renderer: O(allocated surface), no march loops —
-            # the sphere-traced raycast() remains available for color/debug.
             rdepth = render_depth_splat(self.cfg, self.volume, Kj,
                                         jnp.asarray(next_ref_c2w),
                                         self.H, self.W,
