@@ -300,63 +300,136 @@ def _get_interpolated(cfg: TsdfConfig, vol: TsdfVolume, pts_w):
             jnp.where(w0[:, None] > 0, col_acc, 0.0))
 
 
-@partial(jax.jit, static_argnums=(0, 7, 8, 9), donate_argnums=(1,))
-def _splat_chunk(cfg: TsdfConfig, zbuf, vol: TsdfVolume, K, w2c_R, w2c_t,
-                 start, chunk: int, H: int, W: int):
+@partial(jax.jit, static_argnums=(0, 8, 9, 10), donate_argnums=(1,))
+def _splat_chunk(cfg: TsdfConfig, zbuf, vol: TsdfVolume, pair_tab, K, w2c_R,
+                 w2c_t, start, chunk: int, H: int, W: int):
+    """Splat the zero-crossing surface points of ``chunk`` pool blocks.
+
+    Per axis and per block column, the sdf sign change between adjacent
+    voxels is located exactly (linear interpolation) and ONE surface point —
+    the nearest-to-camera valid crossing — is emitted: 3 x 64 = 192 scatter
+    rows per block instead of the 512 of a per-voxel shell splat. The
+    scatter-min is the entire splat cost on TPU (measured 147 M rows/s), so
+    this is ~2.6x; the emitted points also sit ON the surface instead of up
+    to 1.5 voxels off. Crossings that straddle a block face are recovered
+    from the +axis neighbour's first voxel slice via ``pair_tab``
+    ((P*512, 2) [tsdf, weight] prefix rows).
+    """
     b = cfg.block_size
     B3 = b ** 3
+    vs = cfg.voxel_size
+    P = pair_tab.shape[0] // B3
     coords = jax.lax.dynamic_slice_in_dim(vol.block_coords, start, chunk, 0)
-    tsdf_c = jax.lax.dynamic_slice_in_dim(vol.tsdf, start, chunk, 0)
-    weight_c = jax.lax.dynamic_slice_in_dim(vol.weight, start, chunk, 0)
-
-    li = jnp.arange(B3, dtype=jnp.int32)
-    local = jnp.stack([li % b, (li // b) % b, li // (b * b)], -1)
-    vox_w = (coords[:, None, :] * b + local[None]) * cfg.voxel_size
-    vox_cam = (vox_w @ w2c_R.T + w2c_t).reshape(-1, 3)
-    z = vox_cam[:, 2]
-    euclid = jnp.linalg.norm(vox_cam, axis=-1)
+    tsdf_c = jax.lax.dynamic_slice_in_dim(
+        vol.tsdf, start, chunk, 0).reshape(chunk, b, b, b)     # (z, y, x)
+    weight_c = jax.lax.dynamic_slice_in_dim(
+        vol.weight, start, chunk, 0).reshape(chunk, b, b, b)
+    slot_active = ((start + jnp.arange(chunk)) < vol.n_allocated)
 
     fx, fy, cx, cy = K[0, 0], K[1, 1], K[0, 2], K[1, 2]
-    z_safe = jnp.where(z <= 1e-6, 1.0, z)
-    u = jnp.round(fx * vox_cam[:, 0] / z_safe + cx).astype(jnp.int32)
-    v = jnp.round(fy * vox_cam[:, 1] / z_safe + cy).astype(jnp.int32)
+    jk = jnp.arange(b * b, dtype=jnp.int32)
+    o1, o2 = jk // b, jk % b
+    gap = jnp.arange(b, dtype=jnp.float32)
 
-    sdf = tsdf_c.reshape(-1)
-    wgt = weight_c.reshape(-1)
-    slot_active = ((start + jnp.arange(chunk)) < vol.n_allocated)
-    active = jnp.repeat(slot_active, B3)
+    flats, zs = [], []
+    # world axis a; tensor dim of that axis in (chunk, z, y, x); the li of
+    # the neighbour block's coordinate-0 face at (o1, o2); which world axes
+    # (o1, o2) map to.
+    for a, dim, face_li, others in (
+            (0, 3, o1 * (b * b) + o2 * b, (2, 1)),   # x gaps; o1=z, o2=y
+            (1, 2, o1 * (b * b) + o2, (2, 0)),        # y gaps; o1=z, o2=x
+            (2, 1, o1 * b + o2, (1, 0))):             # z gaps; o1=y, o2=x
+        sA = jnp.moveaxis(tsdf_c, dim, -1)            # (C, b, b, b=gaps)
+        wA = jnp.moveaxis(weight_c, dim, -1)
 
-    # First-order surface depth along the ray: the reference's marcher also
-    # advances by sdf in z-depth units (current_depth += sdf).
-    z_surf = z + sdf * z / jnp.maximum(euclid, 1e-6)
+        # Neighbour block's first slice along +a closes the inter-block gap.
+        nb_block = coords.at[:, a].add(1)
+        flat_tab, in_arena = _table_index(cfg, nb_block)
+        nb_slot = vol.page_table[flat_tab]
+        nb_ok = (nb_slot >= 0) & (nb_slot < P) & in_arena
+        rows = (jnp.where(nb_ok, nb_slot, 0)[:, None] * B3 + face_li[None])
+        nb = pair_tab[rows.reshape(-1)].reshape(chunk, b, b, 2)
+        s_nb = nb[..., 0].astype(jnp.float32)
+        w_nb = jnp.where(nb_ok[:, None, None], nb[..., 1], 0.0)
 
-    near = (jnp.abs(sdf) < 1.5 * cfg.voxel_size) & (wgt > 0)
-    ok = active & near & (z > cfg.min_depth) & (z_surf > 0) \
-        & (u >= 0) & (u < W) & (v >= 0) & (v < H)
-    flat = jnp.where(ok, v * W + u, H * W)
-    return zbuf.at[flat].min(z_surf, mode="drop")
+        s0, w0 = sA, wA
+        s1 = jnp.concatenate([sA[..., 1:], s_nb[..., None]], -1)
+        w1 = jnp.concatenate([wA[..., 1:], w_nb[..., None]], -1)
+
+        valid = ((w0 > 0) & (w1 > 0) & (s0 * s1 <= 0)
+                 & ~((s0 == 0) & (s1 == 0)))
+        denom = s0 - s1
+        t = jnp.clip(s0 / jnp.where(jnp.abs(denom) < 1e-20, 1.0, denom),
+                     0.0, 1.0)
+
+        # Camera z of each candidate is affine in (gap + t): one fused pass.
+        base = coords.astype(jnp.float32) * b                  # (C, 3)
+        c_o1 = base[:, others[0], None, None] + o1.reshape(b, b)
+        c_o2 = base[:, others[1], None, None] + o2.reshape(b, b)
+        zc_base = (w2c_R[2, others[0]] * c_o1 + w2c_R[2, others[1]] * c_o2
+                   + w2c_R[2, a] * base[:, a, None, None]) * vs + w2c_t[2]
+        zc = zc_base[..., None] + (w2c_R[2, a] * vs) * (gap + t)
+        zc = jnp.where(valid & slot_active[:, None, None, None], zc, jnp.inf)
+
+        gmin = jnp.argmin(zc, axis=-1)                         # (C, b, b)
+        oh = (jnp.arange(b)[None, None, None] == gmin[..., None])
+        t_sel = jnp.sum(jnp.where(oh, t, 0.0), -1)
+        z_out = jnp.sum(jnp.where(oh, zc, 0.0), -1)
+        any_valid = jnp.isfinite(z_out) & (z_out > 0)
+
+        # Selected surface point in world voxel units -> camera u, v.
+        ca = base[:, a, None, None] + gmin.astype(jnp.float32) + t_sel
+        p = [None, None, None]
+        p[a], p[others[0]], p[others[1]] = ca, c_o1, c_o2
+        xc = (w2c_R[0, 0] * p[0] + w2c_R[0, 1] * p[1]
+              + w2c_R[0, 2] * p[2]) * vs + w2c_t[0]
+        yc = (w2c_R[1, 0] * p[0] + w2c_R[1, 1] * p[1]
+              + w2c_R[1, 2] * p[2]) * vs + w2c_t[1]
+        z_safe = jnp.where(z_out <= 1e-6, 1.0, z_out)
+        u = jnp.round(fx * xc / z_safe + cx).astype(jnp.int32)
+        v = jnp.round(fy * yc / z_safe + cy).astype(jnp.int32)
+        ok = (any_valid & (z_out > cfg.min_depth)
+              & (u >= 0) & (u < W) & (v >= 0) & (v < H))
+        flats.append(jnp.where(ok, v * W + u, H * W).reshape(-1))
+        zs.append(jnp.where(ok, z_out, jnp.inf).reshape(-1))
+
+    flat = jnp.concatenate(flats)
+    zval = jnp.concatenate(zs)
+    return zbuf.at[flat].min(zval, mode="drop")
+
+
+def _pair_table(vol: TsdfVolume, n: int, chunk: int):
+    """(P*B3, 2) [tsdf, weight] prefix rows for cross-block lookups, with P
+    rounded to the chunk size so jit signatures stay rare."""
+    B3 = vol.tsdf.shape[1]
+    P = min(-(-max(n, 1) // chunk) * chunk, vol.tsdf.shape[0])
+    tsdf_p = jax.lax.slice_in_dim(vol.tsdf, 0, P, axis=0)
+    wgt_p = jax.lax.slice_in_dim(vol.weight, 0, P, axis=0)
+    return jnp.stack([tsdf_p, wgt_p], -1).reshape(P * B3, 2)
 
 
 def render_depth_splat(cfg: TsdfConfig, vol: TsdfVolume, K, cam_to_world,
                        H: int, W: int, chunk: int = 2048,
                        fill_rounds: int = 2, n_allocated: int = None):
-    """Render the model depth by splatting near-surface voxels with a
-    z-buffer (occlusion = scatter-min) instead of per-ray sphere tracing.
+    """Render the model depth by splatting per-column sdf zero crossings with
+    a z-buffer (occlusion = scatter-min) instead of per-ray sphere tracing.
 
     TPU-first replacement for the render path that feeds the coarse tracker
     (GenerateRgbDepthKernel): cost scales with the allocated surface, not
-    rays x steps, and there are no sequential march loops. Depth differs from
-    the marched render by at most ~a voxel (first-order surface projection);
-    the tracker consumes it as initialization-quality depth on a stride grid.
+    rays x steps, and there are no sequential march loops. The splatted
+    points are exact linear-interpolated surface crossings (see
+    _splat_chunk); the tracker consumes the result as initialization-quality
+    depth on a stride grid.
 
     :return: (H, W) depth, 0 where empty.
     """
     w2c_R, w2c_t, zbuf = _splat_init(cam_to_world, H, W)
     chunk = min(chunk, cfg.pool_size)
     n = int(vol.n_allocated) if n_allocated is None else n_allocated
+    pair_tab = _pair_table(vol, n, chunk)
     for start in range(0, max(n, 1), chunk):
-        zbuf = _splat_chunk(cfg, zbuf, vol, K, w2c_R, w2c_t, start, chunk,
-                            H, W)
+        zbuf = _splat_chunk(cfg, zbuf, vol, pair_tab, K, w2c_R, w2c_t,
+                            start, chunk, H, W)
     return _splat_finish(zbuf, H, W, fill_rounds)
 
 
@@ -419,9 +492,10 @@ def raycast(cfg: TsdfConfig, vol: TsdfVolume, K_and_pose, H: int, W: int,
     w2c_R, w2c_t, zbuf = _splat_init(cam_to_world, H, W)
     chunk = min(chunk, cfg.pool_size)
     n = int(vol.n_allocated) if n_allocated is None else n_allocated
+    pair_tab = _pair_table(vol, n, chunk)
     for start in range(0, max(n, 1), chunk):
-        zbuf = _splat_chunk(cfg, zbuf, vol, K, w2c_R, w2c_t, start, chunk,
-                            H, W)
+        zbuf = _splat_chunk(cfg, zbuf, vol, pair_tab, K, w2c_R, w2c_t,
+                            start, chunk, H, W)
     # Static allocated-prefix bound: TPU gather throughput cliffs ~5x once
     # the table exceeds the on-chip cache (~34 MB measured); bounding the
     # lookup tables by the allocated blocks (rounded, so recompiles are

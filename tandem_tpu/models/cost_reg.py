@@ -11,7 +11,7 @@ from __future__ import annotations
 import jax.numpy as jnp
 from flax import linen as nn
 
-from .layers import (ConvBnRelu, DeconvBnRelu, _ConvParams,
+from .layers import (ConvBnRelu, DeconvBnRelu, _ConvParams, _batch_norm,
                      conv3d_folded_nhwdc)
 
 
@@ -64,12 +64,10 @@ class VolumeGate(nn.Module):
     def __call__(self, x, train: bool = False):
         y = nn.Conv(1, (1, 1, 1), use_bias=True, dtype=self.dtype,
                     name="gate0")(x)
-        y = nn.BatchNorm(use_running_average=not train, momentum=0.9,
-                         epsilon=1e-5, dtype=jnp.float32, name="bn0")(y)
+        y = _batch_norm(y, train, self.dtype, name="bn0")
         y = nn.relu(y)
         y = nn.Conv(1, (1, 1, 1), use_bias=True, dtype=self.dtype,
                     name="gate1")(y)
-        y = nn.BatchNorm(use_running_average=not train, momentum=0.9,
-                         epsilon=1e-5, dtype=jnp.float32, name="bn1")(y)
+        y = _batch_norm(y, train, self.dtype, name="bn1")
         y = nn.relu(y)
         return y  # (B, D, H, W, 1)

@@ -225,6 +225,120 @@ def deconv3d_via_2d(x, kernel, stride, padding, output_padding):
     return inter.reshape(B, 2 * D, Ho, Wo, O)
 
 
+def space_to_depth(x, f: int = 2):
+    """(B, H, W, C) -> (B, H/f, W/f, f*f*C); channel order (qy, qx, c)."""
+    B, H, W, C = x.shape
+    x = x.reshape(B, H // f, f, W // f, f, C)
+    return x.transpose(0, 1, 3, 2, 4, 5).reshape(B, H // f, W // f, f * f * C)
+
+
+def depth_to_space(x, f: int = 2):
+    """Inverse of space_to_depth."""
+    B, Hp, Wp, Cp = x.shape
+    C = Cp // (f * f)
+    x = x.reshape(B, Hp, Wp, f, f, C).transpose(0, 1, 3, 2, 4, 5)
+    return x.reshape(B, Hp * f, Wp * f, C)
+
+
+def _patch_selector(K: int, s: int, p: int, f_in: int, f_out: int):
+    """Per-dimension 0/1 selector S[Kp, f_in, f_out, K] mapping an original
+    conv tap k to patched tap m / input sub-position r / output sub-position
+    q, plus (patch padding pp, patch stride sp). Brute-force over the pixel
+    arithmetic: output pixel o = s*(f_out*P + q) reads input pixel
+    i = o + k - p, which lives in input patch floor(i/f_in), sub i%f_in."""
+    sp, rem = divmod(s * f_out, f_in)
+    assert rem == 0, (K, s, f_in, f_out)
+    hits = []
+    for q in range(f_out):
+        for k in range(K):
+            i = s * q + k - p
+            hits.append((i // f_in, i % f_in, q, k))
+    pp = max(0, -min(m for m, _, _, _ in hits))
+    Kp = max(m for m, _, _, _ in hits) + pp + 1
+    S = np.zeros((Kp, f_in, f_out, K), np.float32)
+    for m, r, q, k in hits:
+        S[m + pp, r, q, k] = 1.0
+    return S, pp, sp
+
+
+def _patch_kernel(kernel, f_in: int, f_out: int, stride, padding):
+    """(kh, kw, I, O) -> patched kernel (Kph, Kpw, f_in^2*I, f_out^2*O)
+    with (ry, rx, c) / (qy, qx, c) channel orders, plus (pp, sp) per dim."""
+    kh, kw, I, O = kernel.shape
+    Sh, pph, sph = _patch_selector(kh, stride[0], padding[0], f_in, f_out)
+    Sw, ppw, spw = _patch_selector(kw, stride[1], padding[1], f_in, f_out)
+    big = jnp.einsum("arqk,bsgl,klio->abrsiqgo", jnp.asarray(Sh, kernel.dtype),
+                     jnp.asarray(Sw, kernel.dtype), kernel)
+    big = big.reshape(Sh.shape[0], Sw.shape[0], f_in * f_in * I,
+                      f_out * f_out * O)
+    return big, (pph, ppw), (sph, spw)
+
+
+def conv2d_patched(x, kernel, stride, padding, f_in: int = 2,
+                   f_out: int = 1):
+    """Exact 2D convolution evaluated in space-to-depth ("patched") layout.
+
+    TPU convs with 3-32 channels run ~40x off the MXU roof: the 128-wide
+    lane/contraction dims sit mostly empty. Rearranging f x f pixel blocks
+    into channels (space_to_depth) makes every FeatureNet conv a 32-128
+    channel conv at 1/f^2 the spatial positions — the same trick
+    conv3d_folded plays on the depth axis. The patched kernel is a 0/1
+    placement of the original taps (see _patch_selector), so the math is
+    exactly the original convolution.
+
+    :param x: (B, H/f_in, W/f_in, f_in^2*I) patched input
+    :param kernel: original (kh, kw, I, O)
+    :param stride/padding: ORIGINAL full-resolution conv parameters
+    :param f_out: 1 -> plain (B, Ho, Wo, O) output; f -> patched output
+    """
+    big, pp, sp = _patch_kernel(kernel, f_in, f_out, stride, padding)
+    return jax.lax.conv_general_dilated(
+        x, big, window_strides=sp,
+        padding=[(pp[0], pp[0]), (pp[1], pp[1])],
+        dimension_numbers=("NHWC", "HWIO", "NHWC"))
+
+
+class _EvalFoldedBN(nn.Module):
+    """Inference BatchNorm as one fused per-channel FMA in the compute dtype.
+
+    flax's nn.BatchNorm(dtype=float32) upcasts the whole activation tensor to
+    f32 between the bf16 convs — for the memory-bound FeatureNet/CostRegNet
+    that doubles the inter-layer traffic. At eval the BN is just
+    y = x * (scale/sqrt(var+eps)) + (bias - mean*scale/sqrt(var+eps)); doing
+    that f32 math on the (C,) parameter vectors and applying ONE bf16 FMA
+    keeps the tensor in bf16 and lets XLA fold it into the conv epilogue.
+    Declares the exact same params/batch_stats tree as nn.BatchNorm, so
+    checkpoints and the torch converter are unaffected.
+    """
+    dtype: jnp.dtype = jnp.float32
+    tile: int = 1     # apply in a patched layout whose channels = tile * C
+
+    @nn.compact
+    def __call__(self, x):
+        c = x.shape[-1] // self.tile
+        scale = self.param("scale", nn.initializers.ones, (c,), jnp.float32)
+        bias = self.param("bias", nn.initializers.zeros, (c,), jnp.float32)
+        mean = self.variable("batch_stats", "mean",
+                             lambda: jnp.zeros((c,), jnp.float32))
+        var = self.variable("batch_stats", "var",
+                            lambda: jnp.ones((c,), jnp.float32))
+        inv = scale * jax.lax.rsqrt(var.value + 1e-5)
+        off = bias - mean.value * inv
+        if self.tile > 1:
+            inv = jnp.tile(inv, self.tile)
+            off = jnp.tile(off, self.tile)
+        return x * inv.astype(self.dtype) + off.astype(self.dtype)
+
+
+def _batch_norm(x, train: bool, dtype, name: str = "bn", tile: int = 1):
+    """BatchNorm matching torch semantics; folded bf16 FMA at inference."""
+    if train:
+        assert tile == 1, "patched layout is an inference-only fast path"
+        return nn.BatchNorm(use_running_average=False, momentum=0.9,
+                            epsilon=1e-5, dtype=jnp.float32, name=name)(x)
+    return _EvalFoldedBN(dtype=dtype, tile=tile, name=name)(x)
+
+
 class _ConvParams(nn.Module):
     """Parameter holder keeping the ``<parent>/conv/kernel`` tree layout that
     the torch checkpoint converter expects."""
@@ -256,6 +370,8 @@ class ConvBnRelu(nn.Module):
     relu: bool = True
     normalization: Optional[str] = "batchnorm"
     folded: bool = False        # 3D input in folded (B, H, W, D, C) layout
+    f_in: int = 1               # 2D input in space-to-depth patched layout
+    f_out: int = 1              # emit space-to-depth patched output
     dtype: jnp.dtype = jnp.float32
 
     @nn.compact
@@ -264,6 +380,7 @@ class ConvBnRelu(nn.Module):
         s = _tup(self.stride, self.ndim)
         p = _tup(self.padding, self.ndim)
         use_norm = self.normalization is not None
+        bn_tile = 1
         if self.ndim == 3:
             in_feat = x.shape[-1]
             kernel, bias = _ConvParams(k + (in_feat, self.features),
@@ -272,6 +389,16 @@ class ConvBnRelu(nn.Module):
             x = conv(x.astype(self.dtype), kernel.astype(self.dtype), s, p)
             if bias is not None:
                 x = x + bias
+        elif self.f_in > 1 or self.f_out > 1:
+            in_feat = x.shape[-1] // (self.f_in * self.f_in)
+            kernel, bias = _ConvParams(k + (in_feat, self.features),
+                                       not use_norm, name="conv")()
+            x = conv2d_patched(x.astype(self.dtype),
+                               kernel.astype(self.dtype), s, p,
+                               f_in=self.f_in, f_out=self.f_out)
+            bn_tile = self.f_out * self.f_out
+            if bias is not None:
+                x = x + jnp.tile(bias, bn_tile).astype(self.dtype)
         else:
             x = nn.Conv(self.features, kernel_size=k, strides=s,
                         padding=[(pi, pi) for pi in p],
@@ -279,8 +406,7 @@ class ConvBnRelu(nn.Module):
                         name="conv")(x)
         if use_norm:
             if self.normalization == "batchnorm":
-                x = nn.BatchNorm(use_running_average=not train, momentum=0.9,
-                                 epsilon=1e-5, dtype=jnp.float32, name="bn")(x)
+                x = _batch_norm(x, train, self.dtype, tile=bn_tile)
             elif self.normalization == "instancenorm":
                 # torch InstanceNorm{2,3}d default: no affine for 2D wrapper,
                 # affine=True for the 3D wrapper (module.py:94,202).
@@ -355,8 +481,7 @@ class DeconvBnRelu(nn.Module):
             y = y + bias
         if use_norm:
             if self.normalization == "batchnorm":
-                y = nn.BatchNorm(use_running_average=not train, momentum=0.9,
-                                 epsilon=1e-5, dtype=jnp.float32, name="bn")(y)
+                y = _batch_norm(y, train, self.dtype)
             elif self.normalization == "instancenorm":
                 y = _instance_norm(y, affine=self.ndim == 3, mdl=self)
             else:

@@ -78,6 +78,10 @@ def plane_sweep_warp(src_features, ref_depth, *, src_K, src_cam_to_world,
     z_safe = jnp.where(jnp.abs(z) < 1e-12, 1e-12, z)
     px = proj_component(0) / z_safe
     py = proj_component(1) / z_safe
+    # Materialize the positions before the gather: without the barrier XLA
+    # fuses the whole projection chain into the gather's index computation,
+    # recomputing it per corner row (measured ~10% slower at stage-2 shape).
+    px, py, z = lax.optimization_barrier((px, py, z))
 
     x_norm = px / (0.5 * (W - 1)) - 1.0
     y_norm = py / (0.5 * (H - 1)) - 1.0

@@ -129,3 +129,52 @@ def test_conv3d_folded_matches_per_tap(rng):
         a = np.asarray(deconv3d_via_2d(x, k, s, (1, 1, 1), op))
         b = np.asarray(deconv3d_folded(x, k, s, (1, 1, 1), op))
         np.testing.assert_allclose(b, a, rtol=1e-4, atol=1e-4)
+
+
+def test_conv2d_patched_matches_plain(rng):
+    """conv2d_patched (space-to-depth layout) must be algebraically identical
+    to the plain 2D convolution for every FeatureNet configuration."""
+    import jax
+    from tandem_tpu.models.layers import (conv2d_patched, depth_to_space,
+                                          space_to_depth)
+
+    def ref(x, k, s, p):
+        return jax.lax.conv_general_dilated(
+            x, k, window_strides=(s, s), padding=[(p, p), (p, p)],
+            dimension_numbers=("NHWC", "HWIO", "NHWC"))
+
+    cases = [(3, 1, 1, 2, 2, 3, 8), (3, 1, 1, 2, 2, 8, 8),
+             (5, 2, 2, 2, 1, 8, 16), (1, 1, 0, 2, 2, 16, 32),
+             (3, 1, 1, 2, 2, 32, 8)]
+    for K, s, p, fi, fo, I, O in cases:
+        x = jnp.asarray(rng.randn(2, 16, 24, I).astype(np.float32))
+        k = jnp.asarray(rng.randn(K, K, I, O).astype(np.float32))
+        want = ref(x, k, s, p)
+        got = conv2d_patched(space_to_depth(x, fi), k, (s, s), (p, p),
+                             f_in=fi, f_out=fo)
+        if fo > 1:
+            got = depth_to_space(got, fo)
+        assert got.shape == want.shape
+        np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                                   rtol=1e-4, atol=1e-4)
+
+
+def test_feature_net_patched_matches_plain(rng):
+    """The space-to-depth inference FeatureNet must reproduce the plain path
+    bit-for-bit up to float accumulation order, on the same variables."""
+    from tandem_tpu.models.feature_net import FeatureNet
+
+    x = jnp.asarray(rng.randn(2, 64, 96, 3).astype(np.float32))
+    plain = FeatureNet(dtype=jnp.float32, patched=False)
+    vars_ = plain.init(jax.random.PRNGKey(0), x, train=False)
+    # perturb batch_stats so BN isn't the identity
+    vars_ = jax.tree.map(
+        lambda a: a + 0.1 * np.arange(a.size, dtype=np.float32).reshape(
+            a.shape) % 0.7, vars_)
+    want = plain.apply(vars_, x, train=False)
+    got = FeatureNet(dtype=jnp.float32, patched=True).apply(
+        vars_, x, train=False)
+    assert set(got) == set(want)
+    for k in want:
+        np.testing.assert_allclose(np.asarray(got[k]), np.asarray(want[k]),
+                                   rtol=1e-4, atol=1e-4)
