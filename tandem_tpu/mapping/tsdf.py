@@ -171,18 +171,28 @@ def _integrate_chunk(cfg: TsdfConfig, vol: TsdfVolume, depth_color, K,
     weight_c = jax.lax.dynamic_slice_in_dim(vol.weight, start, chunk, 0)
     color_c = jax.lax.dynamic_slice_in_dim(vol.color, start, chunk, 0)
 
+    # Component-wise position math on (C, B3) tiles: a trailing size-3 xyz
+    # axis sits on the 128-lane dimension at 3/128 occupancy (same lesson as
+    # the plane-sweep warp's HLO).
     li = jnp.arange(B3, dtype=jnp.int32)
-    local = jnp.stack([li % b, (li // b) % b, li // (b * b)], -1)
-    vox_w = (coords[:, None, :] * b + local[None]) * cfg.voxel_size
-    vox_cam = vox_w @ w2c_R.T + w2c_t                   # (C, B3, 3)
-    z = vox_cam[..., 2]
+    lx = (li % b).astype(jnp.float32)
+    ly = ((li // b) % b).astype(jnp.float32)
+    lz = (li // (b * b)).astype(jnp.float32)
+    base = coords.astype(jnp.float32) * b               # (C, 3)
+    vs = cfg.voxel_size
+    wx = (base[:, 0:1] + lx[None]) * vs                 # (C, B3)
+    wy = (base[:, 1:2] + ly[None]) * vs
+    wz = (base[:, 2:3] + lz[None]) * vs
+    xc = w2c_R[0, 0] * wx + w2c_R[0, 1] * wy + w2c_R[0, 2] * wz + w2c_t[0]
+    yc = w2c_R[1, 0] * wx + w2c_R[1, 1] * wy + w2c_R[1, 2] * wz + w2c_t[1]
+    z = w2c_R[2, 0] * wx + w2c_R[2, 1] * wy + w2c_R[2, 2] * wz + w2c_t[2]
 
     fx, fy, cx, cy = K[0, 0], K[1, 1], K[0, 2], K[1, 2]
     img_w = cfg.image_width
     img_h = HW // img_w
     z_safe = jnp.where(z <= 1e-6, 1.0, z)
-    u = jnp.round(fx * vox_cam[..., 0] / z_safe + cx).astype(jnp.int32)
-    v = jnp.round(fy * vox_cam[..., 1] / z_safe + cy).astype(jnp.int32)
+    u = jnp.round(fx * xc / z_safe + cx).astype(jnp.int32)
+    v = jnp.round(fy * yc / z_safe + cy).astype(jnp.int32)
     in_img = (z > 0) & (u >= 0) & (u < img_w) & (v >= 0) & (v < img_h)
 
     slot_active = ((start + jnp.arange(chunk)) < vol.n_allocated)[:, None]
@@ -193,9 +203,12 @@ def _integrate_chunk(cfg: TsdfConfig, vol: TsdfVolume, depth_color, K,
     c_px = dc[..., 1:]
     d_ok = (d_px > 0) & (d_px >= cfg.min_depth) & (d_px < cfg.max_depth)
 
-    surf_pt = _unproject(u, v, d_px, K)
-    surface_dist = jnp.linalg.norm(surf_pt, axis=-1)
-    voxel_dist = jnp.linalg.norm(vox_cam, axis=-1)
+    # surface_dist = |unproject(u, v, d)| (utils.h GetPoint3d:93-101),
+    # component-wise: d * sqrt(((u-cx)/fx)^2 + ((v-cy)/fy)^2 + 1).
+    ru = (u.astype(jnp.float32) - cx) / fx
+    rv = (v.astype(jnp.float32) - cy) / fy
+    surface_dist = d_px * jnp.sqrt(ru * ru + rv * rv + 1.0)
+    voxel_dist = jnp.sqrt(xc * xc + yc * yc + z * z)
 
     in_band = (voxel_dist > surface_dist - cfg.truncation) & \
               (voxel_dist < surface_dist + cfg.truncation)

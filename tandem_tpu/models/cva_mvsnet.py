@@ -149,62 +149,38 @@ class CvaMVSNet(nn.Module):
         ref_c2w = cam_to_world[:, 0]
         ref_volume = ref_feat[:, None].astype(self.dtype)  # (B, 1, H, W, C)
 
-        if not train:
-            # Inference: per-view warps (folding views into one big gather
-            # measured ~2x SLOWER — gather throughput drops with table
-            # size), but ONE batched gate call over the stacked views (6x
-            # fewer launches of the tiny 1x1x1 conv net; numerically
-            # identical — the gate's BatchNorm uses running stats here).
-            S = V - 1
-            warps = []
-            for v in range(1, V):
-                warped, _ = plane_sweep_warp(
-                    features[:, v], depth_in, src_K=K,
-                    src_cam_to_world=cam_to_world[:, v],
-                    ref_K=K, ref_cam_to_world=ref_c2w)
-                warps.append(warped.astype(self.dtype))
-            w = jnp.stack(warps, 1)                   # (B, S, D, H, W, C)
-            if gate is not None:
-                diff_sq = (w - ref_volume[:, None]) ** 2
-                reweight = gate(diff_sq.reshape(B * S, D, H, W, C),
-                                train=False)          # (B*S, D, H, W, 1)
-                accum = (reweight.reshape(B, S, D, H, W, 1) + 1.0) * diff_sq
-                volume = accum.sum(axis=1) / S
-            else:
-                vol_sum = w.sum(axis=1) + jnp.broadcast_to(
-                    ref_volume, (B, D, H, W, C))
-                vol_sq_sum = (w ** 2).sum(axis=1) + jnp.broadcast_to(
-                    ref_volume ** 2, (B, D, H, W, C))
-                volume = vol_sq_sum / V - (vol_sum / V) ** 2
+        # Per-view warps (folding views into one big gather measured ~2x
+        # SLOWER — gather throughput drops with table size), per-view gate
+        # and accumulation so XLA fuses warp -> diff -> gate -> accum without
+        # ever materializing the (B, V-1, D, H, W, C) stack. The reference's
+        # torch loop has the same structure (cva_mvsnet.py:76-83); at eval
+        # the gate's BatchNorm uses running stats so loop order is
+        # numerically irrelevant.
+        if gate is not None:
+            accum = jnp.zeros((B, D, H, W, C), dtype=self.dtype)
         else:
-            # Training keeps the reference's per-view gate calls so the
-            # BatchNorm batch statistics (and their running-stat updates)
-            # match the torch loop exactly (cva_mvsnet.py:76-83).
-            if gate is not None:
-                accum = jnp.zeros((B, D, H, W, C), dtype=self.dtype)
-            else:
-                vol_sum = jnp.broadcast_to(ref_volume, (B, D, H, W, C))
-                vol_sq_sum = jnp.broadcast_to(ref_volume ** 2,
-                                              (B, D, H, W, C))
+            vol_sum = jnp.broadcast_to(ref_volume, (B, D, H, W, C))
+            vol_sq_sum = jnp.broadcast_to(ref_volume ** 2,
+                                          (B, D, H, W, C))
 
-            for v in range(1, V):
-                warped, _ = plane_sweep_warp(
-                    features[:, v], depth_in, src_K=K,
-                    src_cam_to_world=cam_to_world[:, v],
-                    ref_K=K, ref_cam_to_world=ref_c2w)
-                warped = warped.astype(self.dtype)
-                if gate is not None:
-                    diff_sq = (warped - ref_volume) ** 2  # (B, D, H, W, C)
-                    reweight = gate(diff_sq, train=train)  # (B, D, H, W, 1)
-                    accum = accum + (reweight + 1.0) * diff_sq
-                else:
-                    vol_sum = vol_sum + warped
-                    vol_sq_sum = vol_sq_sum + warped ** 2
-
+        for v in range(1, V):
+            warped, _ = plane_sweep_warp(
+                features[:, v], depth_in, src_K=K,
+                src_cam_to_world=cam_to_world[:, v],
+                ref_K=K, ref_cam_to_world=ref_c2w)
+            warped = warped.astype(self.dtype)
             if gate is not None:
-                volume = accum / (V - 1)
+                diff_sq = (warped - ref_volume) ** 2  # (B, D, H, W, C)
+                reweight = gate(diff_sq, train=train)  # (B, D, H, W)
+                accum = accum + (reweight[..., None] + 1.0) * diff_sq
             else:
-                volume = vol_sq_sum / V - (vol_sum / V) ** 2
+                vol_sum = vol_sum + warped
+                vol_sq_sum = vol_sq_sum + warped ** 2
+
+        if gate is not None:
+            volume = accum / (V - 1)
+        else:
+            volume = vol_sq_sum / V - (vol_sum / V) ** 2
 
         logits = cost_reg(volume, train=train)[..., 0]  # (B, D, H, W)
         prob = jax.nn.softmax(logits.astype(jnp.float32), axis=1)
@@ -218,7 +194,12 @@ class CvaMVSNet(nn.Module):
         idx_f = jnp.sum(prob * jnp.arange(D, dtype=jnp.float32)[None, :, None, None],
                         axis=1)
         idx = jnp.clip(idx_f.astype(jnp.int32), 0, D - 1)  # trunc like .long()
-        conf = jnp.take_along_axis(prob4, idx[:, None], axis=1)[:, 0]
+        # One-hot reduction instead of take_along_axis: a (B*H*W)-row gather
+        # runs at the TPU's ~300M rows/s gather floor, while D extra
+        # elementwise passes are bandwidth-cheap for D <= 48.
+        onehot = (jnp.arange(D, dtype=jnp.int32)[None, :, None, None]
+                  == idx[:, None])
+        conf = jnp.sum(jnp.where(onehot, prob4, 0.0), axis=1)
         conf = jax.lax.stop_gradient(conf)
 
         return {"depth": depth, "confidence": conf}

@@ -43,10 +43,33 @@ def depth_filter_edges(depth, discard_percentage, window: int = 5):
         edge = _kth_edge_xla(depth, window)
 
     edge_flat = edge.reshape(B, H * W)
-    edge_sorted = jnp.sort(edge_flat, axis=1)
     cutoff = (H * W * (100.0 - discard_percentage) / 100.0).astype(jnp.int32)
     cutoff = jnp.clip(cutoff, 0, H * W - 1)  # (B,)
-    thres = jnp.take_along_axis(edge_sorted, cutoff[:, None], axis=1)  # (B, 1)
+    thres = _kth_value(edge_flat, cutoff)    # (B,)
 
-    mask = edge > thres[:, :, None]
+    mask = edge > thres[:, None, None]
     return jnp.where(mask, 0.0, depth), mask
+
+
+def _kth_value(x, k):
+    """Per-row k-th smallest element (0-indexed; == sort(x)[:, k]) by
+    iterative histogram bisection. A full jnp.sort of 480x640 costs ~4 ms
+    on TPU; four fused count-passes over 256 shrinking candidate thresholds
+    narrow the bracket by 2^32 — far below f32 spacing, so the returned
+    upper bound IS the k-th value exactly.
+
+    :param x: (B, N); k: (B,) int32
+    """
+    lo = jnp.min(x, axis=1)
+    hi = jnp.max(x, axis=1)
+    grid = jnp.arange(1, 257, dtype=x.dtype) / 256.0
+    for _ in range(4):
+        t = lo[:, None] + (hi - lo)[:, None] * grid          # (B, 256)
+        cnt = jnp.sum(x[:, None, :] <= t[:, :, None], axis=-1)
+        # invariant: count(x <= lo) <= k < count(x <= hi)
+        sel = jnp.argmax(cnt >= (k + 1)[:, None], axis=1)    # first ok bin
+        hi = jnp.take_along_axis(t, sel[:, None], 1)[:, 0]
+        lo_c = jnp.take_along_axis(t, jnp.maximum(sel - 1, 0)[:, None],
+                                   1)[:, 0]
+        lo = jnp.where(sel > 0, lo_c, lo)
+    return hi

@@ -80,8 +80,7 @@ class FeatureNet(nn.Module):
         """Inference forward in space-to-depth layout (identical math)."""
         b = self.base_channels
         kw = dict(ndim=2, normalization=self.normalization, dtype=self.dtype)
-        pp = dict(f_in=2, f_out=2)  # patched -> patched
-        pu = dict(f_in=2, f_out=1)  # patched -> next-scale plain grid
+        pp = dict(f_in=2, f_out=2)  # patched in -> patched out
 
         def head(name, cin, cout, k, use_bias, xin, f_out=2):
             kernel, bias = _ConvParams((k, k, cin, cout), use_bias,
@@ -96,15 +95,16 @@ class FeatureNet(nn.Module):
         xp = ConvBnRelu(b, 3, padding=1, name="conv0_0", **kw, **pp)(xp, train)
         s3p = ConvBnRelu(b, 3, padding=1, name="conv0_1", **kw, **pp)(xp, train)
 
+        # The stride-2 towers emit straight into the next scale's patched
+        # layout (f_out=2): thin 16/32-channel outputs would idle the MXU's
+        # output lanes, and the space_to_depth reshuffle disappears.
         x1 = ConvBnRelu(2 * b, 5, stride=2, padding=2, name="conv1_0",
-                        **kw, **pu)(s3p, train)              # (H/2, W/2, 2b)
-        x1 = space_to_depth(x1)                              # (H/4, W/4, 8b)
+                        **kw, **pp)(s3p, train)              # (H/4, W/4, 8b)
         x1 = ConvBnRelu(2 * b, 3, padding=1, name="conv1_1", **kw, **pp)(x1, train)
         s2p = ConvBnRelu(2 * b, 3, padding=1, name="conv1_2", **kw, **pp)(x1, train)
 
         x2 = ConvBnRelu(4 * b, 5, stride=2, padding=2, name="conv2_0",
-                        **kw, **pu)(s2p, train)              # (H/4, W/4, 4b)
-        x2 = space_to_depth(x2)                              # (H/8, W/8, 16b)
+                        **kw, **pp)(s2p, train)              # (H/8, W/8, 16b)
         x2 = ConvBnRelu(4 * b, 3, padding=1, name="conv2_1", **kw, **pp)(x2, train)
         s1p = ConvBnRelu(4 * b, 3, padding=1, name="conv2_2", **kw, **pp)(x2, train)
 

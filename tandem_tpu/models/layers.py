@@ -274,6 +274,37 @@ def _patch_kernel(kernel, f_in: int, f_out: int, stride, padding):
     return big, (pph, ppw), (sph, spw)
 
 
+def _deconv_patch_selector():
+    """Per-dim 0/1 selector Sd[m, q, t] for a stride-2 K=3 p=1 op=1
+    transposed conv emitting f=2 patched output: y[2P+q] reads the
+    (pre-flipped) tap t of input pixel P+m. Derived from the dilated
+    correlation y[o] = sum_t W'[t] xd[o+t-1], xd[2i]=x[i]:
+    y[2P]   = W'[1] x[P]
+    y[2P+1] = W'[0] x[P] + W'[2] x[P+1]."""
+    Sd = np.zeros((2, 2, 3), np.float32)
+    Sd[0, 0, 1] = 1.0
+    Sd[0, 1, 0] = 1.0
+    Sd[1, 1, 2] = 1.0
+    return Sd
+
+
+def deconv2d_patched_out(x, kernel):
+    """Stride-2 K=3 p=1 op=1 2D transposed conv (pre-flipped kernel, the
+    CostRegNet configuration) emitting f=2 space-to-depth patched output:
+    (B, H, W, I) -> (B, H, W, 4*O). A transposed conv viewed per output
+    sub-position is a tiny stride-1 conv, so in patched layout the whole
+    upsample is ONE dense 2x2 conv — no lhs_dilation, which XLA lowers
+    poorly on TPU."""
+    kh, kw, I, O = kernel.shape
+    assert kh == kw == 3
+    Sd = jnp.asarray(_deconv_patch_selector(), kernel.dtype)
+    big = jnp.einsum("aqk,bgl,klio->abiqgo", Sd, Sd, kernel)
+    big = big.reshape(2, 2, I, 4 * O)
+    return jax.lax.conv_general_dilated(
+        x, big, window_strides=(1, 1), padding=[(0, 1), (0, 1)],
+        dimension_numbers=("NHWC", "HWIO", "NHWC"))
+
+
 def conv2d_patched(x, kernel, stride, padding, f_in: int = 2,
                    f_out: int = 1):
     """Exact 2D convolution evaluated in space-to-depth ("patched") layout.
@@ -292,10 +323,18 @@ def conv2d_patched(x, kernel, stride, padding, f_in: int = 2,
     :param f_out: 1 -> plain (B, Ho, Wo, O) output; f -> patched output
     """
     big, pp, sp = _patch_kernel(kernel, f_in, f_out, stride, padding)
-    return jax.lax.conv_general_dilated(
+    y = jax.lax.conv_general_dilated(
         x, big, window_strides=sp,
         padding=[(pp[0], pp[0]), (pp[1], pp[1])],
         dimension_numbers=("NHWC", "HWIO", "NHWC"))
+    # Patch padding can exceed the original pixel padding by up to one
+    # patch, over-producing trailing rows computed from pure zero padding
+    # (e.g. K=3 s=2: 241 patch rows for 240 outputs) — slice to the exact
+    # original output extent.
+    kh, kw = kernel.shape[:2]
+    ho = ((x.shape[1] * f_in + 2 * padding[0] - kh) // stride[0] + 1) // f_out
+    wo = ((x.shape[2] * f_in + 2 * padding[1] - kw) // stride[1] + 1) // f_out
+    return y[:, :ho, :wo, :]
 
 
 class _EvalFoldedBN(nn.Module):
@@ -312,10 +351,12 @@ class _EvalFoldedBN(nn.Module):
     """
     dtype: jnp.dtype = jnp.float32
     tile: int = 1     # apply in a patched layout whose channels = tile * C
+    channels: Optional[int] = None   # override (e.g. 1-channel BN applied
+                                     # to a squeezed tensor of any shape)
 
     @nn.compact
     def __call__(self, x):
-        c = x.shape[-1] // self.tile
+        c = self.channels or x.shape[-1] // self.tile
         scale = self.param("scale", nn.initializers.ones, (c,), jnp.float32)
         bias = self.param("bias", nn.initializers.zeros, (c,), jnp.float32)
         mean = self.variable("batch_stats", "mean",
@@ -372,6 +413,7 @@ class ConvBnRelu(nn.Module):
     folded: bool = False        # 3D input in folded (B, H, W, D, C) layout
     f_in: int = 1               # 2D input in space-to-depth patched layout
     f_out: int = 1              # emit space-to-depth patched output
+    depth_in: int = 0           # 3D patched-folded: input depth (flat 4D x)
     dtype: jnp.dtype = jnp.float32
 
     @nn.compact
@@ -381,7 +423,24 @@ class ConvBnRelu(nn.Module):
         p = _tup(self.padding, self.ndim)
         use_norm = self.normalization is not None
         bn_tile = 1
-        if self.ndim == 3:
+        if self.ndim == 3 and (self.f_in > 1 or self.f_out > 1):
+            # Patched-folded: x is (B, H/f, W/f, f^2 * D_in * I); the depth-
+            # folded kernel (one banded 2D conv) is further rearranged into
+            # space-to-depth layout. Inference only.
+            D_in = self.depth_in
+            in_feat = x.shape[-1] // (self.f_in * self.f_in * D_in)
+            kernel, bias = _ConvParams(k + (in_feat, self.features),
+                                       not use_norm, name="conv")()
+            D_out = (D_in + 2 * p[0] - k[0]) // s[0] + 1
+            big = _fold_depth_kernel(
+                kernel.astype(self.dtype),
+                _depth_band(k[0], D_in, D_out, s[0], p[0], transpose=False))
+            x = conv2d_patched(x.astype(self.dtype), big, s[1:], p[1:],
+                               f_in=self.f_in, f_out=self.f_out)
+            bn_tile = self.f_out * self.f_out * D_out
+            if bias is not None:
+                x = x + jnp.tile(bias, bn_tile).astype(self.dtype)
+        elif self.ndim == 3:
             in_feat = x.shape[-1]
             kernel, bias = _ConvParams(k + (in_feat, self.features),
                                        not use_norm, name="conv")()
@@ -448,6 +507,8 @@ class DeconvBnRelu(nn.Module):
     relu: bool = True
     normalization: Optional[str] = "batchnorm"
     folded: bool = False        # input in folded (B, H, W, D, C) layout
+    f_out: int = 1              # emit space-to-depth patched output (3D,
+                                # stride-2 full configuration only)
     dtype: jnp.dtype = jnp.float32
 
     @nn.compact
@@ -458,13 +519,25 @@ class DeconvBnRelu(nn.Module):
         p = _tup(self.padding, n)
         op = _tup(self.output_padding, n)
         use_norm = self.normalization is not None
+        bn_tile = 1
 
         in_feat = x.shape[-1]
         kernel = self.param(
             "kernel",
             nn.initializers.variance_scaling(1.0 / 3.0, "fan_in", "uniform"),
             k + (in_feat, self.features))
-        if n == 3:
+        if n == 3 and self.f_out > 1:
+            # Patched-out transposed conv: folded (B, H, W, D, C) input,
+            # (B, H, W, f^2 * 2D * O) space-to-depth output. Inference only.
+            assert s == (2, 2, 2) and p == (1, 1, 1) and op == (1, 1, 1)
+            B, H, W, D, I = x.shape
+            big = _fold_depth_kernel(
+                kernel.astype(self.dtype),
+                _depth_band(k[0], D, 2 * D, 2, 1, transpose=True))
+            y = deconv2d_patched_out(
+                x.astype(self.dtype).reshape(B, H, W, D * I), big)
+            bn_tile = self.f_out * self.f_out * 2 * D
+        elif n == 3:
             deconv = deconv3d_folded_nhwdc if self.folded \
                 else deconv3d_folded
             y = deconv(x.astype(self.dtype), kernel.astype(self.dtype),
@@ -478,10 +551,11 @@ class DeconvBnRelu(nn.Module):
                 dimension_numbers=("NHWC", "HWIO", "NHWC"))
         if not use_norm:
             bias = self.param("bias", nn.initializers.zeros, (self.features,))
-            y = y + bias
+            y = y + (jnp.tile(bias, bn_tile).astype(self.dtype)
+                     if bn_tile > 1 else bias)
         if use_norm:
             if self.normalization == "batchnorm":
-                y = _batch_norm(y, train, self.dtype)
+                y = _batch_norm(y, train, self.dtype, tile=bn_tile)
             elif self.normalization == "instancenorm":
                 y = _instance_norm(y, affine=self.ndim == 3, mdl=self)
             else:

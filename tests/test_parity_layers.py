@@ -178,3 +178,36 @@ def test_feature_net_patched_matches_plain(rng):
     for k in want:
         np.testing.assert_allclose(np.asarray(got[k]), np.asarray(want[k]),
                                    rtol=1e-4, atol=1e-4)
+
+
+def test_deconv2d_patched_out_matches_plain(rng):
+    """deconv2d_patched_out (dense 2x2 conv in space-to-depth layout) vs the
+    lhs_dilation transposed conv, stride-2 K=3 p=1 op=1."""
+    from tandem_tpu.models.layers import (_deconv2d, deconv2d_patched_out,
+                                          depth_to_space)
+    x = jnp.asarray(rng.randn(2, 10, 14, 16).astype(np.float32))
+    k = jnp.asarray(rng.randn(3, 3, 16, 8).astype(np.float32))
+    want = _deconv2d(x, k, (2, 2), (1, 1), (1, 1))
+    got = depth_to_space(deconv2d_patched_out(x, k))
+    assert got.shape == want.shape
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                               rtol=1e-4, atol=1e-4)
+
+
+def test_cost_reg_patched_matches_plain(rng):
+    """Stage3-style CostRegNet (D*C=64) must produce identical logits on the
+    patched (space-to-depth full-res layers) and plain folded paths."""
+    from tandem_tpu.models.cost_reg import CostRegNet
+
+    x = jnp.asarray(rng.randn(1, 8, 32, 48, 8).astype(np.float32))
+    plain = CostRegNet(base_channels=8, dtype=jnp.float32, patched=False)
+    vars_ = plain.init(jax.random.PRNGKey(0), x, train=False)
+    vars_ = jax.tree.map(
+        lambda a: a + 0.1 * np.arange(a.size, dtype=np.float32).reshape(
+            a.shape) % 0.7, vars_)
+    want = plain.apply(vars_, x, train=False)
+    got = CostRegNet(base_channels=8, dtype=jnp.float32, patched=True).apply(
+        vars_, x, train=False)
+    assert got.shape == want.shape == (1, 8, 32, 48, 1)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                               rtol=1e-4, atol=1e-4)
