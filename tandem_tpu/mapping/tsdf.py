@@ -520,7 +520,7 @@ def raycast(cfg: TsdfConfig, vol: TsdfVolume, K_and_pose, H: int, W: int,
 
 @partial(jax.jit, static_argnums=(0, 5, 6, 7, 8, 9))
 def _raycast_march(cfg: TsdfConfig, vol: TsdfVolume, K, cam_to_world, zbuf,
-                   H: int, W: int, refine_steps: int = 8,
+                   H: int, W: int, refine_steps: int = 5,
                    fill_rounds: int = 4, n_pool: int = None):
     N = H * W
     b = cfg.block_size
@@ -548,12 +548,22 @@ def _raycast_march(cfg: TsdfConfig, vol: TsdfVolume, K, cam_to_world, zbuf,
         [col_p, wgt_p[..., None]], -1).astype(jnp.bfloat16).reshape(
             P * B3, 4)
 
+    # The page table is 160^3 x int32 = 16 MB — past the ~34 MB gather cache
+    # cliff once march+color tables join it in the working set. March slots
+    # are bounded by P anyway, so gather from a P-clamped int16 copy (8 MB)
+    # when P fits (it always does at the default 2048-block chunking).
+    if P < 2 ** 15:
+        page_tab = jnp.where(vol.page_table < P, vol.page_table,
+                             -1).astype(jnp.int16)
+    else:
+        page_tab = vol.page_table
+
     def voxel_index(pts):
         vox = jnp.floor(pts / cfg.voxel_size).astype(jnp.int32)
         block = jnp.floor(pts / cfg.block_extent).astype(jnp.int32)
         local = jnp.clip(vox - block * b, 0, b - 1)
         flat_tab, in_arena = _table_index(cfg, block)
-        slot = vol.page_table[flat_tab]
+        slot = page_tab[flat_tab].astype(jnp.int32)
         allocated = (slot >= 0) & (slot < P) & in_arena
         li = (local[:, 2] * b + local[:, 1]) * b + local[:, 0]
         return jnp.where(allocated, slot, 0) * B3 + li, allocated
