@@ -333,27 +333,34 @@ def _splat_chunk(cfg: TsdfConfig, zbuf, vol: TsdfVolume, pair_tab, K, w2c_R,
     vs = cfg.voxel_size
     P = pair_tab.shape[0] // B3
     coords = jax.lax.dynamic_slice_in_dim(vol.block_coords, start, chunk, 0)
-    tsdf_c = jax.lax.dynamic_slice_in_dim(
-        vol.tsdf, start, chunk, 0).reshape(chunk, b, b, b)     # (z, y, x)
-    weight_c = jax.lax.dynamic_slice_in_dim(
-        vol.weight, start, chunk, 0).reshape(chunk, b, b, b)
+    tsdf_c = jax.lax.dynamic_slice_in_dim(vol.tsdf, start, chunk, 0)
+    weight_c = jax.lax.dynamic_slice_in_dim(vol.weight, start, chunk, 0)
     slot_active = ((start + jnp.arange(chunk)) < vol.n_allocated)
 
     fx, fy, cx, cy = K[0, 0], K[1, 1], K[0, 2], K[1, 2]
     jk = jnp.arange(b * b, dtype=jnp.int32)
     o1, o2 = jk // b, jk % b
-    gap = jnp.arange(b, dtype=jnp.float32)
+
+    # Per-voxel local coordinates as flat (B3,) constants: all the heavy
+    # candidate math stays in the native (chunk, 512) layout — full
+    # (8, 128) VPU tiles — instead of (..., 8, 8) views at 8/128-lane
+    # occupancy (measured 26 ms/frame; the scatter itself is only ~5 ms).
+    li = jnp.arange(B3, dtype=jnp.int32)
+    lx = (li % b).astype(jnp.float32)
+    ly = ((li // b) % b).astype(jnp.float32)
+    lz = (li // (b * b)).astype(jnp.float32)
+    base = coords.astype(jnp.float32) * b                      # (C, 3)
+    active512 = slot_active[:, None]
 
     flats, zs = [], []
-    # world axis a; tensor dim of that axis in (chunk, z, y, x); the li of
-    # the neighbour block's coordinate-0 face at (o1, o2); which world axes
-    # (o1, o2) map to.
-    for a, dim, face_li, others in (
-            (0, 3, o1 * (b * b) + o2 * b, (2, 1)),   # x gaps; o1=z, o2=y
-            (1, 2, o1 * (b * b) + o2, (2, 0)),        # y gaps; o1=z, o2=x
-            (2, 1, o1 * b + o2, (1, 0))):             # z gaps; o1=y, o2=x
-        sA = jnp.moveaxis(tsdf_c, dim, -1)            # (C, b, b, b=gaps)
-        wA = jnp.moveaxis(weight_c, dim, -1)
+    # world axis a; tensor dim of that axis in (chunk, z, y, x) views used
+    # only for the +1 shift; the li of the neighbour block's coordinate-0
+    # face at (o1, o2); the flat local coordinates of the two non-a axes.
+    for a, dim, face_li, l_o1, l_o2, col_o1, col_o2 in (
+            (0, 3, o1 * (b * b) + o2 * b, lz, ly, 2, 1),   # x gaps
+            (1, 2, o1 * (b * b) + o2, lz, lx, 2, 0),       # y gaps
+            (2, 1, o1 * b + o2, ly, lx, 1, 0)):            # z gaps
+        la = (lx, ly, lz)[a]
 
         # Neighbour block's first slice along +a closes the inter-block gap.
         nb_block = coords.at[:, a].add(1)
@@ -361,13 +368,25 @@ def _splat_chunk(cfg: TsdfConfig, zbuf, vol: TsdfVolume, pair_tab, K, w2c_R,
         nb_slot = vol.page_table[flat_tab]
         nb_ok = (nb_slot >= 0) & (nb_slot < P) & in_arena
         rows = (jnp.where(nb_ok, nb_slot, 0)[:, None] * B3 + face_li[None])
-        nb = pair_tab[rows.reshape(-1)].reshape(chunk, b, b, 2)
-        s_nb = nb[..., 0].astype(jnp.float32)
-        w_nb = jnp.where(nb_ok[:, None, None], nb[..., 1], 0.0)
+        nb = pair_tab[rows.reshape(-1)].reshape(chunk, b * b, 2)
+        s_nb = nb[..., 0]                                      # (C, 64)
+        w_nb = jnp.where(nb_ok[:, None], nb[..., 1], 0.0)
 
-        s0, w0 = sA, wA
-        s1 = jnp.concatenate([sA[..., 1:], s_nb[..., None]], -1)
-        w1 = jnp.concatenate([wA[..., 1:], w_nb[..., None]], -1)
+        # Value at local+1 along a (neighbour face at the boundary), built
+        # with one slice+concat in the (chunk, ..., b, ...) view, then
+        # flattened back to (C, B3) for ALL arithmetic.
+        view = (chunk,) + (b,) * 3
+        sA = tsdf_c.reshape(view)
+        wA = weight_c.reshape(view)
+        sl = [slice(None)] * 4
+        sl[dim] = slice(1, None)
+        fshape = [chunk, b, b, b]
+        fshape[dim] = 1
+        s1 = jnp.concatenate(
+            [sA[tuple(sl)], s_nb.reshape(fshape)], dim).reshape(chunk, B3)
+        w1 = jnp.concatenate(
+            [wA[tuple(sl)], w_nb.reshape(fshape)], dim).reshape(chunk, B3)
+        s0, w0 = tsdf_c, weight_c
 
         valid = ((w0 > 0) & (w1 > 0) & (s0 * s1 <= 0)
                  & ~((s0 == 0) & (s1 == 0)))
@@ -375,25 +394,34 @@ def _splat_chunk(cfg: TsdfConfig, zbuf, vol: TsdfVolume, pair_tab, K, w2c_R,
         t = jnp.clip(s0 / jnp.where(jnp.abs(denom) < 1e-20, 1.0, denom),
                      0.0, 1.0)
 
-        # Camera z of each candidate is affine in (gap + t): one fused pass.
-        base = coords.astype(jnp.float32) * b                  # (C, 3)
-        c_o1 = base[:, others[0], None, None] + o1.reshape(b, b)
-        c_o2 = base[:, others[1], None, None] + o2.reshape(b, b)
-        zc_base = (w2c_R[2, others[0]] * c_o1 + w2c_R[2, others[1]] * c_o2
-                   + w2c_R[2, a] * base[:, a, None, None]) * vs + w2c_t[2]
-        zc = zc_base[..., None] + (w2c_R[2, a] * vs) * (gap + t)
-        zc = jnp.where(valid & slot_active[:, None, None, None], zc, jnp.inf)
+        # Camera z of each candidate is affine in (l_a + t): one fused pass
+        # on (C, B3) with (B3,) coordinate-constant broadcasts.
+        zc = ((w2c_R[2, col_o1] * (base[:, col_o1, None] + l_o1[None])
+               + w2c_R[2, col_o2] * (base[:, col_o2, None] + l_o2[None])
+               + w2c_R[2, a] * (base[:, a, None] + la[None] + t)) * vs
+              + w2c_t[2])
+        zc = jnp.where(valid & active512, zc, jnp.inf)
 
-        gmin = jnp.argmin(zc, axis=-1)                         # (C, b, b)
-        oh = (jnp.arange(b)[None, None, None] == gmin[..., None])
-        t_sel = jnp.sum(jnp.where(oh, t, 0.0), -1)
-        z_out = jnp.sum(jnp.where(oh, zc, 0.0), -1)
+        # Nearest-to-camera crossing per column of axis a.
+        red = zc.reshape(view)
+        gmin = jnp.argmin(red, axis=dim)                       # (C, b, b)
+        oh = jnp.expand_dims(
+            jnp.arange(b), [d for d in range(3) if d != dim - 1]
+        )[None] == jnp.expand_dims(gmin, dim)
+        t_sel = jnp.sum(jnp.where(oh, t.reshape(view), 0.0), dim)
+        z_out = jnp.sum(jnp.where(oh, red, 0.0), dim)
         any_valid = jnp.isfinite(z_out) & (z_out > 0)
+        gmin = gmin.reshape(chunk, b * b)
+        t_sel = t_sel.reshape(chunk, b * b)
+        z_out = z_out.reshape(chunk, b * b)
+        any_valid = any_valid.reshape(chunk, b * b)
 
         # Selected surface point in world voxel units -> camera u, v.
-        ca = base[:, a, None, None] + gmin.astype(jnp.float32) + t_sel
+        ca = base[:, a, None] + gmin.astype(jnp.float32) + t_sel
+        c_o1 = base[:, col_o1, None] + o1.astype(jnp.float32)[None]
+        c_o2 = base[:, col_o2, None] + o2.astype(jnp.float32)[None]
         p = [None, None, None]
-        p[a], p[others[0]], p[others[1]] = ca, c_o1, c_o2
+        p[a], p[col_o1], p[col_o2] = ca, c_o1, c_o2
         xc = (w2c_R[0, 0] * p[0] + w2c_R[0, 1] * p[1]
               + w2c_R[0, 2] * p[2]) * vs + w2c_t[0]
         yc = (w2c_R[1, 0] * p[0] + w2c_R[1, 1] * p[1]
