@@ -23,7 +23,7 @@ def main():
     t = device_time(lambda: f_tiny(tiny), iters=50)
     print(f"tiny dispatch: {t*1e6:8.1f} us", flush=True)
 
-    for mb in (10, 40, 160, 640):
+    for mb in (10, 40, 160):
         n = mb * 1024 * 1024 // 4
         x = jax.random.normal(key, (n // 128, 128), jnp.float32)
         f = jax.jit(lambda x: x * 2.0)

@@ -558,8 +558,14 @@ def _raycast_march(cfg: TsdfConfig, vol: TsdfVolume, K, cam_to_world, zbuf,
     t = cam_to_world[:3, 3]
 
     fx, fy, cx, cy = K[0, 0], K[1, 1], K[0, 2], K[1, 2]
-    ray_cam = jnp.stack([(u - cx) / fx, (v - cy) / fy, jnp.ones(N)], -1)
-    ray_w = ray_cam @ R.T  # direction scaled so that step == z-depth step
+    # Component-wise ray directions: a trailing size-3 xyz axis would put
+    # every position op on 3/128-lane tiles (same lesson as the warp).
+    rcx = (u - cx) / fx
+    rcy = (v - cy) / fy
+    rwx = R[0, 0] * rcx + R[0, 1] * rcy + R[0, 2]
+    rwy = R[1, 0] * rcx + R[1, 1] * rcy + R[1, 2]
+    rwz = R[2, 0] * rcx + R[2, 1] * rcy + R[2, 2]
+    tx, ty, tz = t[0], t[1], t[2]
 
     B3 = b ** 3
     P = vol.tsdf.shape[0] if n_pool is None else n_pool
@@ -586,18 +592,33 @@ def _raycast_march(cfg: TsdfConfig, vol: TsdfVolume, K, cam_to_world, zbuf,
     else:
         page_tab = vol.page_table
 
-    def voxel_index(pts):
-        vox = jnp.floor(pts / cfg.voxel_size).astype(jnp.int32)
-        block = jnp.floor(pts / cfg.block_extent).astype(jnp.int32)
-        local = jnp.clip(vox - block * b, 0, b - 1)
-        flat_tab, in_arena = _table_index(cfg, block)
+    T = cfg.table_dim
+
+    def voxel_index(px, py, pz):
+        """Component-wise voxel lookup at world position (px, py, pz)."""
+        vx = jnp.floor(px / cfg.voxel_size).astype(jnp.int32)
+        vy = jnp.floor(py / cfg.voxel_size).astype(jnp.int32)
+        vz = jnp.floor(pz / cfg.voxel_size).astype(jnp.int32)
+        bx = jnp.floor(px / cfg.block_extent).astype(jnp.int32)
+        by = jnp.floor(py / cfg.block_extent).astype(jnp.int32)
+        bz = jnp.floor(pz / cfg.block_extent).astype(jnp.int32)
+        lx = jnp.clip(vx - bx * b, 0, b - 1)
+        ly = jnp.clip(vy - by * b, 0, b - 1)
+        lz = jnp.clip(vz - bz * b, 0, b - 1)
+        # _table_index component-wise: flat = (sx*T + sy)*T + sz.
+        sx, sy, sz = bx + T // 2, by + T // 2, bz + T // 2
+        in_arena = ((sx >= 0) & (sx < T) & (sy >= 0) & (sy < T)
+                    & (sz >= 0) & (sz < T))
+        flat_tab = ((jnp.clip(sx, 0, T - 1) * T + jnp.clip(sy, 0, T - 1)) * T
+                    + jnp.clip(sz, 0, T - 1))
         slot = page_tab[flat_tab].astype(jnp.int32)
         allocated = (slot >= 0) & (slot < P) & in_arena
-        li = (local[:, 2] * b + local[:, 1]) * b + local[:, 0]
+        li = (lz * b + ly) * b + lx
         return jnp.where(allocated, slot, 0) * B3 + li, allocated
 
     def advance(cur, hit):
-        idx, allocated = voxel_index(t + ray_w * cur[:, None])
+        idx, allocated = voxel_index(tx + rwx * cur, ty + rwy * cur,
+                                     tz + rwz * cur)
         rows = march_tab[idx].astype(jnp.float32)
         sdf = rows[:, 0]
         w = jnp.where(allocated, rows[:, 1], 0.0)
@@ -631,29 +652,35 @@ def _raycast_march(cfg: TsdfConfig, vol: TsdfVolume, K, cam_to_world, zbuf,
 
     found = hit & (cur < cfg.max_depth)
     # Trilinear color at the hit point (GetInterpolatedVoxel: per-corner
-    # centre-value fallback for empty corners) — 9 narrow-row gathers.
+    # centre-value fallback for empty corners) — 9 narrow-row gathers,
+    # all position math component-wise.
     vs = cfg.voxel_size
-    pts = t + ray_w * cur[:, None]
-    idx0, alloc0 = voxel_index(pts)
+    ptx = tx + rwx * cur
+    pty = ty + rwy * cur
+    ptz = tz + rwz * cur
+    idx0, alloc0 = voxel_index(ptx, pty, ptz)
     rows0 = color_tab[idx0].astype(jnp.float32)
     w0 = jnp.where(alloc0, rows0[:, 3], 0.0)
     col0 = rows0[:, :3]
-    frac = pts / vs - jnp.floor(pts / vs)
+    fracx = ptx / vs - jnp.floor(ptx / vs)
+    fracy = pty / vs - jnp.floor(pty / vs)
+    fracz = ptz / vs - jnp.floor(ptz / vs)
     col_acc = jnp.zeros_like(col0)
     dual_base = -0.5 * vs
     for ox in (0, 1):
         for oy in (0, 1):
             for oz in (0, 1):
-                off = (jnp.array([ox, oy, oz], jnp.float32) * vs + dual_base)
                 # corner lookup along the ray parameterization: shift the
                 # world point, not the ray depth
-                idx, allocated = voxel_index(pts + off)
+                idx, allocated = voxel_index(ptx + ox * vs + dual_base,
+                                             pty + oy * vs + dual_base,
+                                             ptz + oz * vs + dual_base)
                 rows = color_tab[idx].astype(jnp.float32)
                 wc = jnp.where(allocated, rows[:, 3], 0.0)
                 c = jnp.where((wc > 0)[:, None], rows[:, :3], col0)
-                wt = (jnp.where(ox, frac[:, 0], 1 - frac[:, 0])
-                      * jnp.where(oy, frac[:, 1], 1 - frac[:, 1])
-                      * jnp.where(oz, frac[:, 2], 1 - frac[:, 2]))
+                wt = ((fracx if ox else 1 - fracx)
+                      * (fracy if oy else 1 - fracy)
+                      * (fracz if oz else 1 - fracz))
                 col_acc = col_acc + wt[:, None] * c
     col = jnp.where((w0 > 0)[:, None], col_acc, 0.0)
 
