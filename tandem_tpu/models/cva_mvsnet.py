@@ -171,9 +171,16 @@ class CvaMVSNet(nn.Module):
             warped = warped.astype(self.dtype)
             if gate is not None:
                 diff_sq = (warped - ref_volume) ** 2  # (B, D, H, W, C)
+                # Materialize: diff_sq has two consumers (the gate and the
+                # accumulation); without a barrier XLA fuses the warp's
+                # gather into BOTH and runs it once per consumer (measured
+                # 2x at stage 3, experiments/bench_stage_agg.py).
+                diff_sq = jax.lax.optimization_barrier(diff_sq)
                 reweight = gate(diff_sq, train=train)  # (B, D, H, W)
                 accum = accum + (reweight[..., None] + 1.0) * diff_sq
             else:
+                # Same two-consumer hazard for the variance volume.
+                warped = jax.lax.optimization_barrier(warped)
                 vol_sum = vol_sum + warped
                 vol_sq_sum = vol_sq_sum + warped ** 2
 

@@ -21,7 +21,7 @@ from jax import lax
 
 _PREC = lax.Precision.HIGHEST
 
-from .grid_sample import bilinear_sample_pixel
+from .grid_sample import _pack_corners
 from .linalg import invert_pixel_projection
 
 
@@ -35,13 +35,24 @@ def _pixel_projection_matrix(K, world_to_cam):
 
 
 def plane_sweep_warp(src_features, ref_depth, *, src_K, src_cam_to_world,
-                     ref_K, ref_cam_to_world, min_depth_thres: float = 0.001):
+                     ref_K, ref_cam_to_world, min_depth_thres: float = 0.001,
+                     materialize: str = "positions"):
     """Warp source features over reference depth hypotheses.
 
     :param src_features: (B, H, W, C)
     :param ref_depth: (B, D, H, W) depth hypotheses in the reference frame
     :param src_K, ref_K: (B, 3, 3)
     :param src_cam_to_world, ref_cam_to_world: (B, 4, 4)
+    :param materialize: which intermediates get an optimization barrier —
+        "positions" (px/py/z, the default), "chain" (rows+weights), "out"
+        (the warped volume), combinations ("positions+out"), or "none".
+        Measured on v5e (experiments/bench_stage_agg.py): standalone, the
+        chain barrier is fastest (42.7 vs 59.7 ms for a 6-view stage-2
+        sweep) — but composed with the cost-volume aggregation XLA's
+        scheduling inverts the ranking (62 vs 74 ms), so "positions" stays
+        the default. An out/diff-sq barrier in the CONSUMER is what stops
+        the gather from fusing into multiple aggregation uses and running
+        once per use (measured 2x at stage 3); see cva_mvsnet.py.
     :return: warped (B, D, H, W, C), mask_valid (B, D, H, W) same dtype
     """
     B, H, W, C = src_features.shape
@@ -78,10 +89,8 @@ def plane_sweep_warp(src_features, ref_depth, *, src_K, src_cam_to_world,
     z_safe = jnp.where(jnp.abs(z) < 1e-12, 1e-12, z)
     px = proj_component(0) / z_safe
     py = proj_component(1) / z_safe
-    # Materialize the positions before the gather: without the barrier XLA
-    # fuses the whole projection chain into the gather's index computation,
-    # recomputing it per corner row (measured ~10% slower at stage-2 shape).
-    px, py, z = lax.optimization_barrier((px, py, z))
+    if "positions" in materialize:
+        px, py, z = lax.optimization_barrier((px, py, z))
 
     x_norm = px / (0.5 * (W - 1)) - 1.0
     y_norm = py / (0.5 * (H - 1)) - 1.0
@@ -89,14 +98,50 @@ def plane_sweep_warp(src_features, ref_depth, *, src_K, src_cam_to_world,
     x_bound = 1.0 + 1.0 / (W - 1)
     y_bound = 1.0 + 1.0 / (H - 1)
     mask_outside = (jnp.abs(x_norm) > x_bound) | (jnp.abs(y_norm) > y_bound)
-
-    warped = bilinear_sample_pixel(
-        src_features, px.reshape(B, D * H * W), py.reshape(B, D * H * W))
-    warped = warped.reshape(B, D, H, W, C)
-    # Zero out rays that hit behind the source camera (module.py:883-887).
-    warped = warped * (~mask_negative[..., None]).astype(warped.dtype)
-
     mask_valid = ~(mask_negative | mask_outside)
+
+    # Bilinear index/weight chain, inlined component-wise (no (N, 4)
+    # stacked-weight arrays, no einsum — a size-4 trailing axis wastes
+    # 124/128 lanes). Rays behind the source camera (module.py:883-887)
+    # are zeroed by folding ~mask_negative into the weights, which is what
+    # the reference's post-hoc multiply amounts to.
+    dtype = src_features.dtype
+    x0 = jnp.floor(px)
+    y0 = jnp.floor(py)
+    wx1 = px - x0
+    wy1 = py - y0
+    wx0 = 1.0 - wx1
+    wy0 = 1.0 - wy1
+    # Cells whose base lies beyond the 1-pixel pad have every corner outside
+    # the image: result is exactly zero (per-corner zeros padding).
+    inside = ((x0 >= -1) & (x0 <= W - 1) & (y0 >= -1) & (y0 <= H - 1)
+              & ~mask_negative)
+    ins = inside.astype(jnp.float32)
+    w00 = (wx0 * wy0 * ins).astype(dtype)
+    w10 = (wx1 * wy0 * ins).astype(dtype)
+    w01 = (wx0 * wy1 * ins).astype(dtype)
+    w11 = (wx1 * wy1 * ins).astype(dtype)
+    xi = jnp.clip(x0, -1, W - 1).astype(jnp.int32) + 1   # [0, W]
+    yi = jnp.clip(y0, -1, H - 1).astype(jnp.int32) + 1   # [0, H]
+    rows = yi * (W + 1) + xi
+    # mask_valid stays OUT of the barrier: the cascade discards it, and a
+    # barrier operand would force its materialization anyway.
+    if "chain" in materialize:
+        rows, w00, w10, w01, w11 = lax.optimization_barrier(
+            (rows, w00, w10, w01, w11))
+
+    packed = _pack_corners(src_features).reshape(
+        B * (H + 1) * (W + 1), 4 * C)
+    offs = (jnp.arange(B, dtype=jnp.int32)
+            * ((H + 1) * (W + 1)))[:, None, None, None]
+    g = packed[(rows + offs).reshape(-1)]                # (B*N, 4C)
+    warped = (g[:, 0 * C:1 * C] * w00.reshape(-1, 1)
+              + g[:, 1 * C:2 * C] * w10.reshape(-1, 1)
+              + g[:, 2 * C:3 * C] * w01.reshape(-1, 1)
+              + g[:, 3 * C:4 * C] * w11.reshape(-1, 1))
+    warped = warped.reshape(B, D, H, W, C)
+    if "out" in materialize:
+        warped = lax.optimization_barrier(warped)
     return warped, mask_valid.astype(src_features.dtype)
 
 
