@@ -42,13 +42,14 @@ class MvsnetRunner:
     """Fixed-shape compiled CVA-MVSNet inference with async dispatch."""
 
     def __init__(self, model: CvaMVSNet, variables, height: int, width: int,
-                 view_num: int = 7, device=None):
+                 view_num: int = 7, device=None, staged: bool = False):
         self.model = model
         self.height, self.width, self.view_num = height, width, view_num
         self.device = device or jax.devices()[0]
         self.variables = jax.device_put(variables, self.device)
         self._pending = None
         self._ready = True
+        self._staged = staged
 
         def forward(variables, image, Ks, c2w, dmin, dmax):
             if image.dtype == jnp.uint8:
@@ -70,8 +71,87 @@ class MvsnetRunner:
             fd, mask = depth_filter_edges(depth, discard)
             return fd, jnp.where(mask, 0.0, conf)
 
-        self._forward = jax.jit(forward)
+        self._forward = (self._build_staged(model) if staged
+                         else jax.jit(forward))
         self._edge_filter = jax.jit(edge_filter)
+
+    def _build_staged(self, model: CvaMVSNet):
+        """Cascade as chained per-stage jits (feature net | stage i | ...).
+
+        Mathematically identical to the monolithic forward (asserted per
+        stage in experiments/bench_staged_runner.py and tests); gives XLA
+        smaller programs to schedule and makes per-stage measurements
+        transfer. JAX dispatch is async, so the chain costs no host
+        round-trips.
+        """
+        from functools import partial
+
+        from ..models.cva_mvsnet import STAGES
+        from ..models.layers import interpolate_bilinear
+        from ..models.ranges import adaptive_depth_range, uniform_depth_range
+
+        H, W = self.height, self.width
+
+        def feats_m(m, image):
+            if image.dtype == jnp.uint8:
+                image = image.astype(jnp.float32) / 255.0
+            B, V, C, Hh, Ww = image.shape
+            img = jnp.transpose(image, (0, 1, 3, 4, 2)).reshape(
+                B * V, Hh, Ww, C).astype(m.dtype)
+            f = m.feature_net(img, train=False)
+            return tuple(f[s].reshape(B, V, *f[s].shape[1:])
+                         for s in STAGES)
+
+        feats_j = jax.jit(
+            lambda v, img: self.model.apply(v, img, method=feats_m))
+
+        def stage_m(m, feat, K, c2w, ds, i):
+            s = STAGES[i]
+            gate = m.volume_gates[s] if m.view_aggregation else None
+            out = m._depth_prediction(feat, K, c2w, ds, m.cost_reg[s],
+                                      gate, False)
+            return out["depth"], out["confidence"]
+
+        stage_js = [
+            jax.jit(partial(
+                lambda v, f, K, c2w, ds, i: self.model.apply(
+                    v, f, K, c2w, ds, i,
+                    method=lambda m, f, K, c2w, ds, i: stage_m(
+                        m, f, K, c2w, ds, i)), i=i))
+            for i in range(3)
+        ]
+
+        @jax.jit
+        def range1(dmin, dmax):
+            return uniform_depth_range(
+                depth_min=dmin, depth_max=dmax,
+                depth_num=model.depth_num[0], height=H // 4, width=W // 4)
+
+        def make_rangeN(i, hs, ws):
+            @jax.jit
+            def rangeN(prev_depth, base_interval):
+                up = interpolate_bilinear(
+                    prev_depth[..., None].astype(jnp.float32), hs, ws,
+                    align_corners=False)[..., 0]
+                return adaptive_depth_range(
+                    depth=up,
+                    interval=model.depth_interval_ratio[i] * base_interval,
+                    depth_num=model.depth_num[i])
+            return rangeN
+
+        range2 = make_rangeN(1, H // 2, W // 2)
+        range3 = make_rangeN(2, H, W)
+
+        def staged_forward(variables, image, Ks, c2w, dmin, dmax):
+            f1, f2, f3 = feats_j(variables, image)
+            ds1, base = range1(dmin, dmax)
+            d1, _ = stage_js[0](variables, f1, Ks[0], c2w, ds1)
+            ds2 = range2(d1, base)
+            d2, _ = stage_js[1](variables, f2, Ks[1], c2w, ds2)
+            ds3 = range3(d2, base)
+            return stage_js[2](variables, f3, Ks[2], c2w, ds3)
+
+        return staged_forward
 
     # --- packing ---------------------------------------------------------
     @staticmethod

@@ -187,3 +187,42 @@ def test_runner_split_matches_monolithic_model():
         assert bad.mean() < 0.005, (key, bad.mean())
         # every mismatch is a mask flip: one side exactly zero
         assert np.all((a[bad] == 0) | (b[bad] == 0)), key
+
+
+@pytest.mark.slow
+def test_runner_staged_matches_monolithic():
+    """The staged per-stage-jit runner (MvsnetRunner(staged=True)) must
+    reproduce the monolithic runner's outputs. f32 on CPU: the programs
+    differ only in jit boundaries, so depth agrees to float tolerance
+    (cascade re-centering amplifies nothing at f32)."""
+    from tandem_tpu.models.cva_mvsnet import CvaMVSNet
+    from tandem_tpu.pipeline.mvsnet_runner import MvsnetRunner, init_variables
+
+    H, W, V = 64, 96, 7
+    rng = np.random.RandomState(1)
+    model = CvaMVSNet(view_aggregation=True)
+    variables = init_variables(model, H, W, V)
+
+    bgrs = [rng.randint(0, 255, (H, W, 3)).astype(np.uint8)
+            for _ in range(V)]
+    poses = []
+    for v in range(V):
+        T = np.eye(4, dtype=np.float32)
+        T[0, 3] = 0.05 * v
+        poses.append(T)
+    K = np.array([[60.0, 0, (W - 1) / 2], [0, 60.0, (H - 1) / 2],
+                  [0, 0, 1]], np.float32)
+
+    results = []
+    for staged in (False, True):
+        runner = MvsnetRunner(model, variables, H, W, view_num=V,
+                              staged=staged)
+        runner.call_async(bgrs, poses, K, 0.5, 6.0,
+                          discard_percentage=10.0)
+        results.append(runner.get_result())
+    mono, staged_res = results
+    np.testing.assert_allclose(staged_res["depth_dense"],
+                               mono["depth_dense"], rtol=1e-4, atol=1e-4)
+    np.testing.assert_allclose(staged_res["confidence_dense"],
+                               mono["confidence_dense"],
+                               rtol=1e-3, atol=1e-3)
