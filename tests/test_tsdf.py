@@ -154,3 +154,45 @@ def test_extract_mesh_wall():
     # Vertices concentrate near the z=2 plane
     assert np.abs(np.median(verts[:, 2]) - 2.0) < 0.05
     assert np.percentile(np.abs(verts[:, 2] - 2.0), 90) < CFG.truncation
+
+
+def test_splat_cross_block_faces():
+    """Zero crossings that straddle a block face must be recovered from the
+    +axis neighbour's first slice (pair_tab path in _splat_chunk).
+
+    A wall at z=2.07 m with 2 cm voxels crosses between grid positions
+    103 (block 12, local 7) and 104 (block 13, local 0) — the z-face path.
+    The same wall viewed by a camera rotated 90 deg about y exercises the
+    x-face path.
+    """
+    from tandem_tpu.mapping.tsdf import render_depth_splat
+    K, pose = _camera()
+    color = jnp.full((H, W, 3), 90.0)
+
+    # z-face: fronto-parallel wall at a block-boundary crossing.
+    vol = create_volume(CFG)
+    depth = _wall_depth(2.07)
+    vol = allocate_blocks(CFG, vol, depth, K, pose)
+    for _ in range(3):
+        vol = integrate(CFG, vol, depth, color, K, pose)
+    r = np.asarray(render_depth_splat(CFG, vol, K, pose, H, W))
+    crop = r[10:-10, 10:-10]
+    hit = crop > 0
+    assert hit.mean() > 0.97
+    assert np.median(np.abs(crop[hit] - 2.07)) < CFG.voxel_size * 1.5
+
+    # x-face: the same geometry, but integrated from a camera looking
+    # along +x (rotation about y by 90 deg) so the surface crosses along
+    # the world x axis at x = 2.07 = block boundary + one voxel.
+    Ry = np.array([[0, 0, 1, 0], [0, 1, 0, 0], [-1, 0, 0, 0], [0, 0, 0, 1]],
+                  np.float32)
+    pose_x = jnp.asarray(Ry)
+    vol2 = create_volume(CFG)
+    vol2 = allocate_blocks(CFG, vol2, depth, K, pose_x)
+    for _ in range(3):
+        vol2 = integrate(CFG, vol2, depth, color, K, pose_x)
+    r2 = np.asarray(render_depth_splat(CFG, vol2, K, pose_x, H, W))
+    crop2 = r2[10:-10, 10:-10]
+    hit2 = crop2 > 0
+    assert hit2.mean() > 0.97
+    assert np.median(np.abs(crop2[hit2] - 2.07)) < CFG.voxel_size * 1.5
