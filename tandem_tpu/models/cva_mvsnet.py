@@ -189,6 +189,14 @@ class CvaMVSNet(nn.Module):
         else:
             volume = vol_sq_sum / V - (vol_sum / V) ** 2
 
+        return self._depth_head(volume, depth_in, cost_reg, train)
+
+    def _depth_head(self, volume, depth_in, cost_reg, train: bool):
+        """Cost-volume -> (depth, confidence) tail of one cascade stage
+        (module.py:1110-1133): 3D U-Net logits, softmax over D, expected
+        depth, 4-plane confidence. Split out so the staged runner can run
+        it as its own program after per-view warp programs."""
+        D = depth_in.shape[1]
         logits = cost_reg(volume, train=train)[..., 0]  # (B, D, H, W)
         prob = jax.nn.softmax(logits.astype(jnp.float32), axis=1)
         depth = jnp.sum(prob * depth_in.astype(jnp.float32), axis=1)  # (B, H, W)

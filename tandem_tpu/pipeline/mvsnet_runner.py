@@ -71,11 +71,12 @@ class MvsnetRunner:
             fd, mask = depth_filter_edges(depth, discard)
             return fd, jnp.where(mask, 0.0, conf)
 
-        self._forward = (self._build_staged(model) if staged
-                         else jax.jit(forward))
+        self._forward = (
+            self._build_staged(model, split_views=(staged == "perview"))
+            if staged else jax.jit(forward))
         self._edge_filter = jax.jit(edge_filter)
 
-    def _build_staged(self, model: CvaMVSNet):
+    def _build_staged(self, model: CvaMVSNet, split_views: bool = False):
         """Cascade as chained per-stage jits (feature net | stage i | ...).
 
         Mathematically identical to the monolithic forward (asserted per
@@ -83,6 +84,12 @@ class MvsnetRunner:
         smaller programs to schedule and makes per-stage measurements
         transfer. JAX dispatch is async, so the chain costs no host
         round-trips.
+
+        With ``split_views`` each source view's warp + diff^2 runs as its
+        OWN program feeding a gate+U-Net tail program: per-view warps
+        measured at the composition floor (7.1 ms stage-2) while the
+        monolithic stage never schedules below ~10.4/view — the
+        "cut at materialization points" lesson applied inside the stage.
         """
         from functools import partial
 
@@ -112,14 +119,80 @@ class MvsnetRunner:
                                       gate, False)
             return out["depth"], out["confidence"]
 
-        stage_js = [
-            jax.jit(partial(
-                lambda v, f, K, c2w, ds, i: self.model.apply(
-                    v, f, K, c2w, ds, i,
-                    method=lambda m, f, K, c2w, ds, i: stage_m(
-                        m, f, K, c2w, ds, i)), i=i))
-            for i in range(3)
-        ]
+        if split_views:
+            from ..ops.warp import plane_sweep_warp
+
+            @jax.jit
+            def warp_dsq(feat_v, ref_feat, ds, K, c2w_v, c2w_ref):
+                warped, _ = plane_sweep_warp(
+                    feat_v, ds, src_K=K, src_cam_to_world=c2w_v,
+                    ref_K=K, ref_cam_to_world=c2w_ref, materialize="none")
+                warped = warped.astype(model.dtype)
+                return (warped - ref_feat[:, None].astype(model.dtype)) ** 2
+
+            @jax.jit
+            def warp_only(feat_v, ds, K, c2w_v, c2w_ref):
+                warped, _ = plane_sweep_warp(
+                    feat_v, ds, src_K=K, src_cam_to_world=c2w_v,
+                    ref_K=K, ref_cam_to_world=c2w_ref, materialize="none")
+                return warped.astype(model.dtype)
+
+            def tail_m(m, parts, ref_feat, ds, i):
+                s = STAGES[i]
+                if m.view_aggregation:
+                    gate = m.volume_gates[s]
+                    accum = jnp.zeros(parts[0].shape, dtype=m.dtype)
+                    for dsq in parts:
+                        rw = gate(dsq, train=False)
+                        accum = accum + (rw[..., None] + 1.0) * dsq
+                    volume = accum / len(parts)
+                else:
+                    ref_vol = ref_feat[:, None].astype(m.dtype)
+                    vol_sum = jnp.broadcast_to(
+                        ref_vol, parts[0].shape).astype(m.dtype)
+                    vol_sq = jnp.broadcast_to(
+                        ref_vol ** 2, parts[0].shape).astype(m.dtype)
+                    for w in parts:
+                        vol_sum = vol_sum + w
+                        vol_sq = vol_sq + w ** 2
+                    V = len(parts) + 1
+                    volume = vol_sq / V - (vol_sum / V) ** 2
+                out = m._depth_head(volume, ds, m.cost_reg[s], False)
+                return out["depth"], out["confidence"]
+
+            def make_stage(i):
+                tail_j = jax.jit(partial(
+                    lambda v, parts, rf, ds, i: self.model.apply(
+                        v, parts, rf, ds, i,
+                        method=lambda m, parts, rf, ds, i: tail_m(
+                            m, parts, rf, ds, i)), i=i))
+
+                def stage(variables, feat, K, c2w, ds):
+                    Vn = feat.shape[1]
+                    ref_feat = feat[:, 0]
+                    if model.view_aggregation:
+                        parts = tuple(
+                            warp_dsq(feat[:, v], ref_feat, ds, K,
+                                     c2w[:, v], c2w[:, 0])
+                            for v in range(1, Vn))
+                    else:
+                        parts = tuple(
+                            warp_only(feat[:, v], ds, K, c2w[:, v],
+                                      c2w[:, 0])
+                            for v in range(1, Vn))
+                    return tail_j(variables, parts, ref_feat, ds)
+                return stage
+
+            stage_js = [make_stage(i) for i in range(3)]
+        else:
+            stage_js = [
+                jax.jit(partial(
+                    lambda v, f, K, c2w, ds, i: self.model.apply(
+                        v, f, K, c2w, ds, i,
+                        method=lambda m, f, K, c2w, ds, i: stage_m(
+                            m, f, K, c2w, ds, i)), i=i))
+                for i in range(3)
+            ]
 
         @jax.jit
         def range1(dmin, dmax):

@@ -37,6 +37,12 @@ class Settings:
     tracking_device: str = "tpu"    # reference: cpu | cuda
     tracking_step: int = 3          # setting_tracking_step
     dr_mvsnet_view_num: int = 7
+    # Cascade program split: "mono" (one cascade jit), "staged" (per-stage
+    # jits), "perview" (per-view warp programs + stage tail). All three are
+    # mathematically identical (test_parity_model); the split modes exist
+    # because XLA schedules a monolithic 640x480 program worse than its
+    # parts (docs/PERF.md fusion-boundary lesson).
+    mvsnet_staged: str = "mono"     # "mono" | "staged" | "perview"
     mesh_extraction_freq: int = 10
     dense_tracking_with_dense_depth_only: bool = False
     dr_timing: bool = False
@@ -136,4 +142,7 @@ def parse_arguments(argv, base: Optional[Settings] = None) -> Settings:
         else:
             setattr(s, k, v)
     s.mvsnet_flag = bool(s.mvsnet_folder)
+    if s.mvsnet_staged not in ("mono", "staged", "perview"):
+        raise ValueError(f"mvsnet_staged must be mono|staged|perview, "
+                         f"got {s.mvsnet_staged!r}")
     return s

@@ -214,15 +214,16 @@ def test_runner_staged_matches_monolithic():
                   [0, 0, 1]], np.float32)
 
     results = []
-    for staged in (False, True):
+    for staged in (False, True, "perview"):
         runner = MvsnetRunner(model, variables, H, W, view_num=V,
                               staged=staged)
         runner.call_async(bgrs, poses, K, 0.5, 6.0,
                           discard_percentage=10.0)
         results.append(runner.get_result())
-    mono, staged_res = results
-    np.testing.assert_allclose(staged_res["depth_dense"],
-                               mono["depth_dense"], rtol=1e-4, atol=1e-4)
-    np.testing.assert_allclose(staged_res["confidence_dense"],
-                               mono["confidence_dense"],
-                               rtol=1e-3, atol=1e-3)
+    mono = results[0]
+    for staged_res in results[1:]:
+        np.testing.assert_allclose(staged_res["depth_dense"],
+                                   mono["depth_dense"], rtol=1e-4, atol=1e-4)
+        np.testing.assert_allclose(staged_res["confidence_dense"],
+                                   mono["confidence_dense"],
+                                   rtol=1e-3, atol=1e-3)
