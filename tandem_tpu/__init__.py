@@ -16,3 +16,16 @@ citations in docstrings point there for behavioural parity checks.
 """
 
 __version__ = "0.1.0"
+
+import os as _os
+
+if _os.environ.get("TANDEM_PLATFORM"):
+    # Force the JAX platform for every tandem CLI/entry point. A plain
+    # ``JAX_PLATFORMS=cpu`` env var is not enough on managed hosts whose
+    # sitecustomize re-pins the accelerator platform at interpreter start;
+    # the config update below is authoritative as long as it happens
+    # before the first backend initialization (which importing this
+    # package precedes in all CLIs).
+    import jax as _jax
+
+    _jax.config.update("jax_platforms", _os.environ["TANDEM_PLATFORM"])
