@@ -65,27 +65,23 @@ def main():
     dmax = jax.device_put(np.full((1,), 6.0, np.float32))
     discard = jax.device_put(np.full((1,), 10.0, np.float32))
 
-    # The runtime path (MvsnetRunner): cascade and edge filter as two
-    # chained jits — inside one program XLA scheduled the filter ~10x worse.
-    from tandem_tpu.models.edge_filter import depth_filter_edges
+    # The runtime path: MvsnetRunner's compiled program chain exactly as
+    # the SLAM pipeline ships it (cascade + edge filter as chained jits;
+    # see the fusion-boundary lesson in docs/PERF.md). BENCH_MVSNET_MODE
+    # picks the program split (mono | staged | perview) — the default is
+    # the fastest mode measured on v5e (experiments/bench_runner_modes.py).
+    import os
 
-    @jax.jit
-    def forward(variables, image, K1, K2, K3, c2w, dmin, dmax):
-        out = model.apply(variables, image, (K1, K2, K3), c2w, dmin, dmax,
-                          depth_filter_discard_percentage=None,
-                          train=False)
-        return out.stage3.depth, out.stage3.confidence
+    from tandem_tpu.pipeline.mvsnet_runner import MvsnetRunner
 
-    @jax.jit
-    def edge_filter(depth, conf, discard):
-        fd, mask = depth_filter_edges(depth, discard)
-        return fd, jnp.where(mask, 0.0, conf)
-
-    margs = (variables, image, *Ks, c2w, dmin, dmax)
+    mode_name = os.environ.get("BENCH_MVSNET_MODE", "mono")
+    mode = {"mono": False, "staged": True, "perview": "perview"}[mode_name]
+    runner = MvsnetRunner(model, variables, H, W, view_num=V, staged=mode)
+    rargs = (runner.variables, image, tuple(Ks), c2w, dmin, dmax)
 
     def model_step():
-        d, c = forward(*margs)
-        return edge_filter(d, c, discard)
+        d, c = runner._forward(*rargs)
+        return runner._edge_filter(d, c, discard)
     dt_model = device_time(model_step, iters=8)
 
     # --- TSDF fusion + render (per-KF mapping work) ---------------------
@@ -177,7 +173,7 @@ def main():
         "vs_baseline": round((BASELINE_KF_MS / 1e3) / dt_kf, 3),
     }))
     print(f"# honest device times (RTT {rtt*1e3:.1f} ms subtracted): "
-          f"MVSNet {dt_model*1e3:.1f} ms | TSDF fuse+render "
+          f"MVSNet[{mode_name}] {dt_model*1e3:.1f} ms | TSDF fuse+render "
           f"{dt_fusion*1e3:.1f} ms | tracker frame {dt_track*1e3:.1f} ms | "
           f"BA(6it,8KF,2k pts) {dt_ba*1e3:.1f} ms | outliers "
           f"{dt_out*1e3:.1f} ms | tracker-ref build {dt_ref*1e3:.1f} ms | "
