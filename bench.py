@@ -68,15 +68,16 @@ def main():
     # The runtime path: MvsnetRunner's compiled program chain exactly as
     # the SLAM pipeline ships it (cascade + edge filter as chained jits;
     # see the fusion-boundary lesson in docs/PERF.md). BENCH_MVSNET_MODE
-    # picks the program split (mono | staged | perview) — the default is
-    # the fastest mode measured on v5e (experiments/bench_runner_modes.py).
+    # picks the program split (mono | staged | perview); the default stays
+    # mono until the v5e shootout (experiments/bench_runner_modes.py)
+    # lands a winner.
     import os
 
     from tandem_tpu.pipeline.mvsnet_runner import MvsnetRunner
 
     mode_name = os.environ.get("BENCH_MVSNET_MODE", "mono")
-    mode = {"mono": False, "staged": True, "perview": "perview"}[mode_name]
-    runner = MvsnetRunner(model, variables, H, W, view_num=V, staged=mode)
+    runner = MvsnetRunner(model, variables, H, W, view_num=V,
+                          staged=mode_name)
     rargs = (runner.variables, image, tuple(Ks), c2w, dmin, dmax)
 
     def model_step():

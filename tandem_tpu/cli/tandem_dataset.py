@@ -77,11 +77,9 @@ def main(argv=None):
                                "model_variables.pkl"), "rb") as f:
             variables = pickle.load(f)
         model = CvaMVSNet(view_aggregation=True, dtype=jnp.bfloat16)
-        staged = {"mono": False, "staged": True,
-                  "perview": "perview"}[s.mvsnet_staged]
         runner = MvsnetRunner(model, variables, H, W,
                               view_num=s.dr_mvsnet_view_num,
-                              staged=staged)
+                              staged=s.mvsnet_staged)
         # Boot-time golden self-check (FullSystem initDr, dr_mvsnet_test)
         pack = os.path.join(s.mvsnet_folder, "sample_inputs.npz")
         if os.path.exists(pack):

@@ -58,11 +58,9 @@ def main(argv=None):
                                "model_variables.pkl"), "rb") as f:
             variables = pickle.load(f)
         model = CvaMVSNet(view_aggregation=True, dtype=jnp.bfloat16)
-        staged = {"mono": False, "staged": True,
-                  "perview": "perview"}[s.mvsnet_staged]
         runner = MvsnetRunner(model, variables, H, W,
                               view_num=s.dr_mvsnet_view_num,
-                              staged=staged)
+                              staged=s.mvsnet_staged)
         K_mat = np.array([[fx, 0, cx], [0, fy, cy], [0, 0, 1]], np.float32)
         backend = TandemBackend(runner, TsdfConfig(), K_mat, H, W)
 

@@ -156,40 +156,58 @@ class CvaMVSNet(nn.Module):
         # torch loop has the same structure (cva_mvsnet.py:76-83); at eval
         # the gate's BatchNorm uses running stats so loop order is
         # numerically irrelevant.
-        if gate is not None:
-            accum = jnp.zeros((B, D, H, W, C), dtype=self.dtype)
-        else:
-            vol_sum = jnp.broadcast_to(ref_volume, (B, D, H, W, C))
-            vol_sq_sum = jnp.broadcast_to(ref_volume ** 2,
-                                          (B, D, H, W, C))
+        n_terms = 1 if gate is not None else 2
+        acc = [jnp.zeros((B, D, H, W, C), dtype=self.dtype)
+               for _ in range(n_terms)]
 
         for v in range(1, V):
             warped, _ = plane_sweep_warp(
                 features[:, v], depth_in, src_K=K,
                 src_cam_to_world=cam_to_world[:, v],
                 ref_K=K, ref_cam_to_world=ref_c2w)
-            warped = warped.astype(self.dtype)
-            if gate is not None:
-                diff_sq = (warped - ref_volume) ** 2  # (B, D, H, W, C)
-                # Materialize: diff_sq has two consumers (the gate and the
-                # accumulation); without a barrier XLA fuses the warp's
-                # gather into BOTH and runs it once per consumer (measured
-                # 2x at stage 3, experiments/bench_stage_agg.py).
-                diff_sq = jax.lax.optimization_barrier(diff_sq)
-                reweight = gate(diff_sq, train=train)  # (B, D, H, W)
-                accum = accum + (reweight[..., None] + 1.0) * diff_sq
-            else:
-                # Same two-consumer hazard for the variance volume.
-                warped = jax.lax.optimization_barrier(warped)
-                vol_sum = vol_sum + warped
-                vol_sq_sum = vol_sq_sum + warped ** 2
+            terms = self._view_contrib(warped, ref_volume, gate, train)
+            acc = [a + t for a, t in zip(acc, terms)]
 
-        if gate is not None:
-            volume = accum / (V - 1)
-        else:
-            volume = vol_sq_sum / V - (vol_sum / V) ** 2
-
+        volume = self._finalize_volume(acc, ref_volume, float(V),
+                                       gated=gate is not None)
         return self._depth_head(volume, depth_in, cost_reg, train)
+
+    def _view_contrib(self, warped, ref_volume, gate, train: bool):
+        """One source view's cost-volume contribution (module.py:1060-1090):
+        gated -> ((reweight + 1) * diff^2,); variance -> (warped, warped^2).
+
+        Single source of truth shared by the monolithic stage, the per-view
+        staged runner (pipeline/mvsnet_runner.py) and the view-sharded
+        multi-chip path (parallel/view_shard.py).
+        """
+        warped = warped.astype(self.dtype)
+        if gate is not None:
+            diff_sq = (warped - ref_volume) ** 2  # (B, D, H, W, C)
+            # Materialize: diff_sq has two consumers (the gate and the
+            # accumulation); without a barrier XLA fuses the warp's
+            # gather into BOTH and runs it once per consumer (measured
+            # 2x at stage 3, experiments/bench_stage_agg.py).
+            diff_sq = jax.lax.optimization_barrier(diff_sq)
+            return (self._gate_term(diff_sq, gate, train),)
+        # Same two-consumer hazard for the variance volume.
+        warped = jax.lax.optimization_barrier(warped)
+        return (warped, warped ** 2)
+
+    def _gate_term(self, diff_sq, gate, train: bool):
+        """Adaptive view-aggregation reweighting of one view's diff^2
+        volume: (reweight + 1) * diff^2 (module.py:1075-1082)."""
+        reweight = gate(diff_sq, train=train)  # (B, D, H, W)
+        return (reweight[..., None] + 1.0) * diff_sq
+
+    def _finalize_volume(self, acc, ref_volume, V, gated: bool):
+        """Summed per-view contributions -> cost volume. ``V`` counts ALL
+        views incl. the reference (may be a traced scalar on sharded
+        paths)."""
+        if gated:
+            return acc[0] / (V - 1.0)
+        vol_sum = ref_volume + acc[0]        # (B,1,...) + (B,D,...)
+        vol_sq_sum = ref_volume ** 2 + acc[1]
+        return vol_sq_sum / V - (vol_sum / V) ** 2
 
     def _depth_head(self, volume, depth_in, cost_reg, train: bool):
         """Cost-volume -> (depth, confidence) tail of one cascade stage

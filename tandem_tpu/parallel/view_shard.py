@@ -31,24 +31,26 @@ and views independently.
 
 from __future__ import annotations
 
-from functools import partial
+import inspect
 
 import jax
 import jax.numpy as jnp
-from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+from jax.sharding import Mesh, PartitionSpec as P
 
 try:  # jax >= 0.8
     from jax import shard_map as _shard_map
-
-    def shard_map(f, mesh, in_specs, out_specs):
-        return _shard_map(f, mesh=mesh, in_specs=in_specs,
-                          out_specs=out_specs, check_vma=False)
 except ImportError:  # pragma: no cover - older jax
-    from jax.experimental.shard_map import shard_map as _shard_map_legacy
+    from jax.experimental.shard_map import shard_map as _shard_map
 
-    def shard_map(f, mesh, in_specs, out_specs):
-        return _shard_map_legacy(f, mesh=mesh, in_specs=in_specs,
-                                 out_specs=out_specs, check_rep=False)
+# The replication-check kwarg was renamed check_rep -> check_vma; pick
+# whichever this jax accepts instead of keying off the import location.
+_CHECK_KW = ("check_vma" if "check_vma"
+             in inspect.signature(_shard_map).parameters else "check_rep")
+
+
+def shard_map(f, mesh, in_specs, out_specs):
+    return _shard_map(f, mesh=mesh, in_specs=in_specs,
+                      out_specs=out_specs, **{_CHECK_KW: False})
 
 from ..models.cva_mvsnet import STAGES, CvaMVSNet
 from ..models.layers import interpolate_bilinear
@@ -85,13 +87,17 @@ def build_view_sharded_forward(model: CvaMVSNet, mesh: Mesh,
 
             # Broadcast the reference view's features/pose out of the one
             # shard that owns it (masked sum -> psum rides ICI once).
+            # Elementwise mask-sums, NOT einsum: a contraction would ride
+            # the MXU at default precision and round the f32 pose to bf16
+            # (the warp pins Precision.HIGHEST for exactly this reason,
+            # ops/warp.py).
             ref_feats = {}
             for s, f in feats.items():
-                loc = jnp.einsum("j,bjhwc->bhwc", is_ref,
-                                 f.astype(jnp.float32))
-                ref_feats[s] = jax.lax.psum(loc, axis).astype(m.dtype)
+                sel = is_ref[None, :, None, None, None].astype(f.dtype)
+                ref_feats[s] = jax.lax.psum(
+                    jnp.sum(f * sel, axis=1), axis)
             ref_c2w = jax.lax.psum(
-                jnp.einsum("j,bjxy->bxy", is_ref, c2w), axis)
+                jnp.sum(c2w * is_ref[None, :, None, None], axis=1), axis)
 
             V_real = jax.lax.psum(jnp.sum(is_src), axis) + 1.0
 
@@ -118,43 +124,28 @@ def build_view_sharded_forward(model: CvaMVSNet, mesh: Mesh,
                 D = m.depth_num[i]
                 gate = m.volume_gates[stage] if m.view_aggregation else None
                 shape = (B, D, hs, ws, ref_feat.shape[-1])
-
-                if gate is not None:
-                    part = jnp.zeros(shape, dtype=jnp.float32)
-                else:
-                    part_sum = jnp.zeros(shape, dtype=jnp.float32)
-                    part_sq = jnp.zeros(shape, dtype=jnp.float32)
+                n_terms = 1 if gate is not None else 2
+                acc = [jnp.zeros(shape, dtype=m.dtype)
+                       for _ in range(n_terms)]
 
                 for j in range(feats[stage].shape[1]):
                     warped, _ = plane_sweep_warp(
                         feats[stage][:, j], ds, src_K=K,
                         src_cam_to_world=c2w[:, j], ref_K=K,
                         ref_cam_to_world=ref_c2w)
-                    warped = warped.astype(m.dtype)
-                    w_j = is_src[j]
-                    if gate is not None:
-                        diff_sq = (warped - ref_vol) ** 2
-                        diff_sq = jax.lax.optimization_barrier(diff_sq)
-                        rw = gate(diff_sq, train=False)
-                        part = part + w_j * ((rw[..., None] + 1.0)
-                                             * diff_sq).astype(jnp.float32)
-                    else:
-                        warped = jax.lax.optimization_barrier(warped)
-                        part_sum = part_sum + w_j * warped.astype(
-                            jnp.float32)
-                        part_sq = part_sq + w_j * (warped.astype(
-                            jnp.float32) ** 2)
+                    # Aggregation math shared with the monolithic stage
+                    # (cva_mvsnet._view_contrib); padded/ref rows are
+                    # zeroed by the is_src mask.
+                    terms = m._view_contrib(warped, ref_vol, gate, False)
+                    w_j = is_src[j].astype(m.dtype)
+                    acc = [a + w_j * t for a, t in zip(acc, terms)]
 
-                if gate is not None:
-                    total = jax.lax.psum(part, axis)
-                    volume = (total / (V_real - 1.0)).astype(m.dtype)
-                else:
-                    vsum = (ref_vol.astype(jnp.float32)
-                            + jax.lax.psum(part_sum, axis))
-                    vsq = (ref_vol.astype(jnp.float32) ** 2
-                           + jax.lax.psum(part_sq, axis))
-                    volume = (vsq / V_real
-                              - (vsum / V_real) ** 2).astype(m.dtype)
+                # ONE collective per stage; m.dtype (bf16 on the flagship
+                # config) halves the ICI bytes vs an f32 reduce.
+                acc = [jax.lax.psum(a, axis) for a in acc]
+                volume = m._finalize_volume(acc, ref_vol,
+                                            V_real.astype(m.dtype),
+                                            gated=gate is not None)
 
                 out = m._depth_head(volume, ds, m.cost_reg[stage], False)
                 depth = out["depth"]

@@ -41,15 +41,23 @@ def init_variables(model: CvaMVSNet, H: int, W: int, view_num: int, seed: int = 
 class MvsnetRunner:
     """Fixed-shape compiled CVA-MVSNet inference with async dispatch."""
 
+    MODES = ("mono", "staged", "perview")
+
     def __init__(self, model: CvaMVSNet, variables, height: int, width: int,
-                 view_num: int = 7, device=None, staged: bool = False):
+                 view_num: int = 7, device=None, staged="mono"):
+        # ``staged`` takes a mode string; bools are accepted for
+        # compatibility (False -> "mono", True -> "staged").
+        mode = {False: "mono", True: "staged"}.get(staged, staged)
+        if mode not in self.MODES:
+            raise ValueError(f"staged must be one of {self.MODES}, "
+                             f"got {staged!r}")
         self.model = model
         self.height, self.width, self.view_num = height, width, view_num
         self.device = device or jax.devices()[0]
         self.variables = jax.device_put(variables, self.device)
         self._pending = None
         self._ready = True
-        self._staged = staged
+        self._staged = mode
 
         def forward(variables, image, Ks, c2w, dmin, dmax):
             if image.dtype == jnp.uint8:
@@ -72,8 +80,9 @@ class MvsnetRunner:
             return fd, jnp.where(mask, 0.0, conf)
 
         self._forward = (
-            self._build_staged(model, split_views=(staged == "perview"))
-            if staged else jax.jit(forward))
+            jax.jit(forward) if mode == "mono"
+            else self._build_staged(model,
+                                    split_views=(mode == "perview")))
         self._edge_filter = jax.jit(edge_filter)
 
     def _build_staged(self, model: CvaMVSNet, split_views: bool = False):
@@ -138,25 +147,20 @@ class MvsnetRunner:
                 return warped.astype(model.dtype)
 
             def tail_m(m, parts, ref_feat, ds, i):
+                # Aggregation math lives on CvaMVSNet (_gate_term /
+                # _finalize_volume) so the three runtime modes can never
+                # drift apart.
                 s = STAGES[i]
+                V = len(parts) + 1
+                ref_vol = ref_feat[:, None].astype(m.dtype)
                 if m.view_aggregation:
                     gate = m.volume_gates[s]
-                    accum = jnp.zeros(parts[0].shape, dtype=m.dtype)
-                    for dsq in parts:
-                        rw = gate(dsq, train=False)
-                        accum = accum + (rw[..., None] + 1.0) * dsq
-                    volume = accum / len(parts)
+                    acc = [sum(m._gate_term(dsq, gate, False)
+                               for dsq in parts)]
                 else:
-                    ref_vol = ref_feat[:, None].astype(m.dtype)
-                    vol_sum = jnp.broadcast_to(
-                        ref_vol, parts[0].shape).astype(m.dtype)
-                    vol_sq = jnp.broadcast_to(
-                        ref_vol ** 2, parts[0].shape).astype(m.dtype)
-                    for w in parts:
-                        vol_sum = vol_sum + w
-                        vol_sq = vol_sq + w ** 2
-                    V = len(parts) + 1
-                    volume = vol_sq / V - (vol_sum / V) ** 2
+                    acc = [sum(parts), sum(w ** 2 for w in parts)]
+                volume = m._finalize_volume(acc, ref_vol, float(V),
+                                            gated=m.view_aggregation)
                 out = m._depth_head(volume, ds, m.cost_reg[s], False)
                 return out["depth"], out["confidence"]
 

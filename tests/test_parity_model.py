@@ -227,3 +227,48 @@ def test_runner_staged_matches_monolithic():
         np.testing.assert_allclose(staged_res["confidence_dense"],
                                    mono["confidence_dense"],
                                    rtol=1e-3, atol=1e-3)
+
+
+@pytest.mark.slow
+def test_runner_staged_variance_volume():
+    """Same three-mode sweep WITHOUT view aggregation: covers the
+    variance-volume branches of the staged/perview builders (warp_only +
+    the sum/sq-sum finalize), which the gated flagship sweep never
+    executes."""
+    from tandem_tpu.models.cva_mvsnet import CvaMVSNet
+    from tandem_tpu.pipeline.mvsnet_runner import MvsnetRunner, init_variables
+
+    H, W, V = 64, 96, 3
+    rng = np.random.RandomState(2)
+    model = CvaMVSNet(view_aggregation=False)
+    variables = init_variables(model, H, W, V)
+
+    bgrs = [rng.randint(0, 255, (H, W, 3)).astype(np.uint8)
+            for _ in range(V)]
+    poses = []
+    for v in range(V):
+        T = np.eye(4, dtype=np.float32)
+        T[0, 3] = 0.05 * v
+        poses.append(T)
+    K = np.array([[60.0, 0, (W - 1) / 2], [0, 60.0, (H - 1) / 2],
+                  [0, 0, 1]], np.float32)
+
+    results = []
+    for staged in ("mono", "staged", "perview"):
+        runner = MvsnetRunner(model, variables, H, W, view_num=V,
+                              staged=staged)
+        runner.call_async(bgrs, poses, K, 0.5, 6.0,
+                          discard_percentage=10.0)
+        results.append(runner.get_result())
+    mono = results[0]
+    for staged_res in results[1:]:
+        np.testing.assert_allclose(staged_res["depth_dense"],
+                                   mono["depth_dense"], rtol=1e-4, atol=1e-4)
+
+
+def test_runner_rejects_bad_mode():
+    from tandem_tpu.models.cva_mvsnet import CvaMVSNet
+    from tandem_tpu.pipeline.mvsnet_runner import MvsnetRunner
+
+    with pytest.raises(ValueError, match="staged"):
+        MvsnetRunner(CvaMVSNet(), {}, 64, 96, staged="bogus")
