@@ -78,6 +78,10 @@ def build_view_sharded_forward(model: CvaMVSNet, mesh: Mesh,
 
         def body_m(m: CvaMVSNet, image, c2w, is_ref, is_src, Ks, dmin,
                    dmax):
+            if image.dtype == jnp.uint8:
+                # Runtime contract (MvsnetRunner): uint8 ships 4x less
+                # host->device traffic; normalize on device.
+                image = image.astype(jnp.float32) / 255.0
             B, Vl, C, H, W = image.shape
             img = jnp.transpose(image, (0, 1, 3, 4, 2)).reshape(
                 B * Vl, H, W, C).astype(m.dtype)

@@ -44,9 +44,13 @@ class MvsnetRunner:
     MODES = ("mono", "staged", "perview")
 
     def __init__(self, model: CvaMVSNet, variables, height: int, width: int,
-                 view_num: int = 7, device=None, staged="mono"):
-        # ``staged`` takes a mode string; bools are accepted for
-        # compatibility (False -> "mono", True -> "staged").
+                 view_num: int = 7, device=None, staged="mono", mesh=None):
+        """``staged`` takes a mode string; bools are accepted for
+        compatibility (False -> "mono", True -> "staged"). With ``mesh``
+        (a jax.sharding.Mesh with a "view" axis) the cascade runs
+        view-sharded across the mesh's devices (parallel/view_shard.py)
+        under the same CallAsync/GetResult protocol; ``staged`` is then
+        ignored (the sharded forward is one program)."""
         mode = {False: "mono", True: "staged"}.get(staged, staged)
         if mode not in self.MODES:
             raise ValueError(f"staged must be one of {self.MODES}, "
@@ -54,10 +58,12 @@ class MvsnetRunner:
         self.model = model
         self.height, self.width, self.view_num = height, width, view_num
         self.device = device or jax.devices()[0]
-        self.variables = jax.device_put(variables, self.device)
+        self.variables = (jax.device_put(variables, self.device)
+                          if mesh is None else variables)
         self._pending = None
         self._ready = True
         self._staged = mode
+        self.mesh = mesh
 
         def forward(variables, image, Ks, c2w, dmin, dmax):
             if image.dtype == jnp.uint8:
@@ -79,10 +85,14 @@ class MvsnetRunner:
             fd, mask = depth_filter_edges(depth, discard)
             return fd, jnp.where(mask, 0.0, conf)
 
-        self._forward = (
-            jax.jit(forward) if mode == "mono"
-            else self._build_staged(model,
-                                    split_views=(mode == "perview")))
+        if mesh is not None:
+            from ..parallel import build_view_sharded_forward
+            self._forward = build_view_sharded_forward(model, mesh)
+        elif mode == "mono":
+            self._forward = jax.jit(forward)
+        else:
+            self._forward = self._build_staged(
+                model, split_views=(mode == "perview"))
         self._edge_filter = jax.jit(edge_filter)
 
     def _build_staged(self, model: CvaMVSNet, split_views: bool = False):
@@ -262,11 +272,13 @@ class MvsnetRunner:
         assert self._ready, "CallAsync called before previous GetResult"
         self._ready = False
         image, Ks, c2w = self.pack_inputs(bgrs, cam_to_worlds, K, ref_index)
-        dev_args = jax.device_put(
-            (jnp.asarray(image), tuple(jnp.asarray(k) for k in Ks),
-             jnp.asarray(c2w), jnp.full((1,), depth_min, jnp.float32),
-             jnp.full((1,), depth_max, jnp.float32),
-             jnp.full((1,), discard_percentage, jnp.float32)), self.device)
+        args = (jnp.asarray(image), tuple(jnp.asarray(k) for k in Ks),
+                jnp.asarray(c2w), jnp.full((1,), depth_min, jnp.float32),
+                jnp.full((1,), depth_max, jnp.float32),
+                jnp.full((1,), discard_percentage, jnp.float32))
+        # Mesh mode: the sharded jit places/distributes inputs itself.
+        dev_args = (args if self.mesh is not None
+                    else jax.device_put(args, self.device))
         disc = dev_args[-1]
         depth, conf = self._forward(self.variables, *dev_args[:-1])
         fdepth, fconf = self._edge_filter(depth, conf, disc)

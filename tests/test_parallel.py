@@ -53,3 +53,35 @@ def test_view_sharded_matches_monolithic(view_agg, n_shards, V):
 
     np.testing.assert_allclose(np.asarray(d), ref_d, rtol=1e-4, atol=1e-4)
     np.testing.assert_allclose(np.asarray(c), ref_c, rtol=1e-3, atol=1e-3)
+
+
+def test_mesh_runner_matches_single_device():
+    """MvsnetRunner(mesh=...) serves the view-sharded cascade under the
+    same CallAsync/GetResult protocol and must match the single-device
+    runner bit-for-bit at f32 tolerance."""
+    from tandem_tpu.pipeline.mvsnet_runner import MvsnetRunner
+
+    H, W, V = 64, 96, 5
+    rng = np.random.RandomState(3)
+    model = CvaMVSNet(view_aggregation=True)
+    variables = init_variables(model, H, W, V)
+    bgrs = [rng.randint(0, 255, (H, W, 3)).astype(np.uint8)
+            for _ in range(V)]
+    poses = []
+    for v in range(V):
+        T = np.eye(4, dtype=np.float32)
+        T[0, 3] = 0.04 * v
+        poses.append(T)
+    K = np.array([[60.0, 0, (W - 1) / 2], [0, 60.0, (H - 1) / 2],
+                  [0, 0, 1]], np.float32)
+
+    mesh = Mesh(np.array(jax.devices()[:4]), axis_names=("view",))
+    results = []
+    for kw in ({}, {"mesh": mesh}):
+        runner = MvsnetRunner(model, variables, H, W, view_num=V, **kw)
+        runner.call_async(bgrs, poses, K, 0.5, 6.0,
+                          discard_percentage=10.0)
+        results.append(runner.get_result())
+    np.testing.assert_allclose(results[1]["depth_dense"],
+                               results[0]["depth_dense"],
+                               rtol=1e-4, atol=1e-4)
