@@ -21,9 +21,23 @@ import numpy as np
 
 
 def force_real_timing():
-    """Fetch one jit output so subsequent syncs reflect real round trips."""
+    """Fetch one jit output so subsequent syncs reflect real round trips.
+
+    Also enables the persistent compilation cache (same directory the
+    test conftest uses): the 640x480 cascade costs up to ~25 min to
+    compile through the remote backend, so cross-run reuse matters more
+    for benches than for anything else. Harmless where the backend
+    can't serialize executables — it simply doesn't cache.
+    """
+    import os
+
     import jax
     import jax.numpy as jnp
+
+    jax.config.update("jax_compilation_cache_dir",
+                      os.environ.get("TANDEM_JIT_CACHE",
+                                     "/tmp/tandem_tpu_jit_cache"))
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
 
     y = jax.jit(lambda x: x * 2)(jnp.ones((8,), jnp.float32))
     np.asarray(y)
