@@ -3,9 +3,13 @@
 The reference runs a TorchScript trace on a dedicated worker thread + CUDA
 stream with an async CallAsync/GetResult protocol
 (tandem/libdr/dr_mvsnet/src/dr_mvsnet.cpp:20-120,285-331). On TPU the runner
-is a single AOT-compiled jitted function; JAX dispatch is already async, so
-``call_async`` just enqueues the computation and ``get_result`` blocks on the
-transfer — same pipeline semantics, no thread/stream juggling.
+is a chain of compiled programs — one cascade jit ("mono"), per-stage jits
+("staged"), or per-view warp programs + stage tails ("perview"), all
+mathematically identical (the splits exist purely for XLA scheduling, see
+docs/PERF.md), plus an optional view-sharded multi-chip forward (``mesh=``).
+JAX dispatch is already async, so ``call_async`` just enqueues the chain and
+``get_result`` blocks on the transfer — same pipeline semantics, no
+thread/stream juggling.
 
 Input packing parity (dr_mvsnet.cpp:180-250):
 - views reordered ref-first: [ref, others in original order]
