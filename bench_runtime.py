@@ -52,7 +52,10 @@ def main(n_frames=60):
 
     model = CvaMVSNet(view_aggregation=True, dtype=jnp.bfloat16)
     variables = init_variables(model, H, W, 7)
-    runner = MvsnetRunner(model, variables, H, W, view_num=7)
+    import os
+    runner = MvsnetRunner(model, variables, H, W, view_num=7,
+                          staged=os.environ.get("BENCH_MVSNET_MODE",
+                                                "mono"))
     timer = Timer()
     backend = TandemBackend(runner, TsdfConfig(), K_mat, H, W,
                             mesh_extraction_freq=0, timer=timer)
