@@ -116,6 +116,79 @@ def verify_golden(pack_path: str, variables, args=None) -> float:
     return worst
 
 
+def export_stablehlo(variables, args, path: str) -> bool:
+    """Serialize the stage-3 forward as a self-contained StableHLO module
+    (jax.export): weights baked in as constants, fixed shapes, loadable
+    and runnable WITHOUT this package's model code — the analogue of the
+    reference's TorchScript deployable (cva_mvsnet/export_model.py,
+    loaded by dr_mvsnet.cpp:376-). Multi-platform (cpu+tpu) lowering so
+    one artifact serves both; falls back to the current platform when
+    cross-lowering is unsupported. Returns True on success."""
+    import jax
+    import jax.numpy as jnp
+    from jax import export as jexport
+
+    from ..models.cva_mvsnet import CvaMVSNet
+
+    model = CvaMVSNet(view_aggregation=args.view_aggregation)
+    vars_j = jax.tree.map(jnp.asarray, variables)
+
+    def fwd(image, K1, K2, K3, c2w, dmin, dmax, disc):
+        out = model.apply(vars_j, image, (K1, K2, K3), c2w, dmin, dmax,
+                          depth_filter_discard_percentage=disc,
+                          train=False)
+        s = out.stage3
+        return s.depth, s.confidence, s.depth_dense, s.confidence_dense
+
+    H, W, V = args.height, args.width, args.view_num
+    f32 = jnp.float32
+    sds = jax.ShapeDtypeStruct
+    specs = (sds((1, V, 3, H, W), f32), sds((1, 3, 3), f32),
+             sds((1, 3, 3), f32), sds((1, 3, 3), f32),
+             sds((1, V, 4, 4), f32), sds((1,), f32), sds((1,), f32),
+             sds((1,), f32))
+    for platforms in (("cpu", "tpu"), None):
+        try:
+            kw = {} if platforms is None else {"platforms": platforms}
+            exp = jexport.export(jax.jit(fwd), **kw)(*specs)
+            with open(path, "wb") as f:
+                f.write(exp.serialize())
+            print(f"stablehlo export: {os.path.getsize(path)} bytes, "
+                  f"platforms={exp.platforms}")
+            return True
+        except Exception as e:  # cross-lowering support varies by version
+            msg = str(e).splitlines()[0][:120]
+            print(f"stablehlo export (platforms={platforms}) failed: {msg}")
+    return False
+
+
+def verify_stablehlo(out_dir: str) -> float:
+    """Deserialize model.stablehlo and replay the golden pack through it;
+    return the worst mean-abs-error vs the pack's recorded outputs."""
+    import jax.numpy as jnp
+    from jax import export as jexport
+
+    with open(os.path.join(out_dir, "model.stablehlo"), "rb") as f:
+        exp = jexport.deserialize(f.read())
+    pack = np.load(os.path.join(out_dir, "sample_inputs.npz"))
+    image = pack["image"]
+    if image.dtype == np.uint8:
+        image = image.astype(np.float32) / 255.0
+    args = tuple(jnp.asarray(pack[k]) for k in
+                 ("K1", "K2", "K3", "cam_to_world", "depth_min",
+                  "depth_max"))
+    disc = jnp.asarray(np.full((1,), float(pack["discard_percentage"]),
+                               np.float32))
+    d, c, dd, cd = exp.call(jnp.asarray(image), *args, disc)
+    worst = 0.0
+    for k, v in (("stage3.depth", d), ("stage3.confidence", c),
+                 ("stage3.depth_dense", dd),
+                 ("stage3.confidence_dense", cd)):
+        worst = max(worst, float(np.abs(pack["out." + k]
+                                        - np.asarray(v)).mean()))
+    return worst
+
+
 def main(args):
     from ..train.checkpoint import load_any
 
@@ -150,6 +223,13 @@ def main(args):
                     (np.clip(c, 0, 1) * 65535).astype(np.uint16))
     except ImportError:
         pass
+
+    if export_stablehlo(variables, args,
+                        os.path.join(args.out_dir, "model.stablehlo")):
+        serr = verify_stablehlo(args.out_dir)
+        print(f"stablehlo golden replay mean-abs-error: {serr:.2e} "
+              f"({'OK' if serr < GOLDEN_TOL else 'FAIL'})")
+        assert serr < GOLDEN_TOL
 
     err = verify_golden(pack_path, variables, args)
     print(f"golden self-check mean-abs-error: {err:.2e} "
