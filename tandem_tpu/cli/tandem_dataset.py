@@ -73,21 +73,35 @@ def main(argv=None):
     backend = None
     if s.mvsnet_folder:
         import pickle
-        with open(os.path.join(s.mvsnet_folder,
-                               "model_variables.pkl"), "rb") as f:
-            variables = pickle.load(f)
-        model = CvaMVSNet(view_aggregation=True, dtype=jnp.bfloat16)
-        runner = MvsnetRunner(model, variables, H, W,
-                              view_num=s.dr_mvsnet_view_num,
-                              staged=s.mvsnet_staged)
-        # Boot-time golden self-check (FullSystem initDr, dr_mvsnet_test)
+        pkl = os.path.join(s.mvsnet_folder, "model_variables.pkl")
         pack = os.path.join(s.mvsnet_folder, "sample_inputs.npz")
-        if os.path.exists(pack):
-            from .tandem_export import verify_golden, GOLDEN_TOL
-            err = verify_golden(pack, variables)
-            print(f"MVSNet golden self-check: {err:.2e}")
-            # bf16 runtime vs f32 golden: widen tolerance accordingly
-            assert err < 10 * GOLDEN_TOL
+        if os.path.exists(pkl):
+            with open(pkl, "rb") as f:
+                variables = pickle.load(f)
+            model = CvaMVSNet(view_aggregation=True, dtype=jnp.bfloat16)
+            runner = MvsnetRunner(model, variables, H, W,
+                                  view_num=s.dr_mvsnet_view_num,
+                                  staged=s.mvsnet_staged)
+            # Boot-time golden self-check (FullSystem initDr, dr_mvsnet_test)
+            if os.path.exists(pack):
+                from .tandem_export import verify_golden, GOLDEN_TOL
+                err = verify_golden(pack, variables)
+                print(f"MVSNet golden self-check: {err:.2e}")
+                # bf16 runtime vs f32 golden: widen tolerance accordingly
+                assert err < 10 * GOLDEN_TOL
+        else:
+            # Weightless deployment: serve the self-contained StableHLO
+            # unit directly (the reference deploys with only model.pt,
+            # main_tandem_pangolin.cpp; same contract here).
+            from ..pipeline.mvsnet_runner import StablehloRunner
+            runner = StablehloRunner(
+                os.path.join(s.mvsnet_folder, "model.stablehlo"), H, W,
+                view_num=s.dr_mvsnet_view_num)
+            if os.path.exists(pack):
+                from .tandem_export import GOLDEN_TOL, verify_stablehlo
+                err = verify_stablehlo(s.mvsnet_folder)
+                print(f"MVSNet golden self-check (stablehlo): {err:.2e}")
+                assert err < GOLDEN_TOL
         cfg = TsdfConfig()
         backend = TandemBackend(runner, cfg, K_mat, H, W,
                                 mesh_extraction_freq=s.mesh_extraction_freq,

@@ -309,3 +309,52 @@ class MvsnetRunner:
     def wait(self):
         if self._pending is not None:
             jax.block_until_ready(self._pending)
+
+
+class StablehloRunner(MvsnetRunner):
+    """MvsnetRunner protocol served from a model.stablehlo unit alone.
+
+    The reference runtime deploys with ONLY the TorchScript model.pt
+    (dr_mvsnet.cpp loads it directly); this is the same deal for the
+    StableHLO deployable written by tandem_export: weights are baked
+    into the serialized module, so no variables pickle or model code is
+    needed. Shapes are fixed at export time — the runner asserts the
+    deployment resolution matches.
+    """
+
+    def __init__(self, path: str, height: int, width: int,
+                 view_num: int = 7, device=None,
+                 discard_percentage: float = 10.0):
+        from jax import export as jexport
+
+        with open(path, "rb") as f:
+            self._exp = jexport.deserialize(f.read())
+        im_shape = self._exp.in_avals[0].shape      # (1, V, 3, H, W)
+        assert im_shape[1] == view_num and im_shape[3:] == (height, width), \
+            f"unit exported for {im_shape}, asked (1,{view_num},3," \
+            f"{height},{width})"
+        self.height, self.width, self.view_num = height, width, view_num
+        self.device = device  # placement is the deserialized module's
+        self.model = None
+        self.variables = None
+        self.mesh = None
+        self._staged = "stablehlo"
+        self._pending = None
+        self._ready = True
+
+    def call_async(self, bgrs, cam_to_worlds, K, depth_min: float,
+                   depth_max: float, discard_percentage: float = 10.0,
+                   ref_index=None):
+        import jax.numpy as jnp
+
+        assert self._ready, "CallAsync called before previous GetResult"
+        self._ready = False
+        image, Ks, c2w = self.pack_inputs(bgrs, cam_to_worlds, K, ref_index)
+        out = self._exp.call(
+            jnp.asarray(image.astype(np.float32) / 255.0),
+            jnp.asarray(Ks[0]), jnp.asarray(Ks[1]), jnp.asarray(Ks[2]),
+            jnp.asarray(c2w), jnp.full((1,), depth_min, jnp.float32),
+            jnp.full((1,), depth_max, jnp.float32),
+            jnp.full((1,), discard_percentage, jnp.float32))
+        fdepth, fconf, depth, conf = out
+        self._pending = (fdepth, fconf, depth, conf)

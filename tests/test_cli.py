@@ -65,6 +65,37 @@ def test_tandem_export_and_golden(tmp_path):
     err = te.verify_golden(str(pack), variables, args)
     assert err < te.GOLDEN_TOL
 
+    # Weightless deployment: the StableHLO unit alone serves the runner
+    # protocol; result unpacking must match a direct module call on the
+    # identically packed inputs.
+    import jax.numpy as jnp
+
+    shlo = tmp_path / "exported" / "model.stablehlo"
+    assert shlo.exists()
+    from tandem_tpu.pipeline.mvsnet_runner import StablehloRunner
+    runner = StablehloRunner(str(shlo), 64, 96, view_num=4)
+    rng = np.random.RandomState(7)
+    bgrs = [rng.randint(0, 255, (64, 96, 3)).astype(np.uint8)
+            for _ in range(4)]
+    poses = []
+    for v in range(4):
+        T = np.eye(4, dtype=np.float32)
+        T[0, 3] = 0.05 * v
+        poses.append(T)
+    K = np.array([[57.6, 0, 47.5], [0, 57.6, 31.5], [0, 0, 1]], np.float32)
+    runner.call_async(bgrs, poses, K, 0.5, 6.0, discard_percentage=10.0)
+    res = runner.get_result()
+
+    image, Ks, c2w = runner.pack_inputs(bgrs, poses, K)
+    ref = runner._exp.call(
+        jnp.asarray(image.astype(np.float32) / 255.0),
+        jnp.asarray(Ks[0]), jnp.asarray(Ks[1]), jnp.asarray(Ks[2]),
+        jnp.asarray(c2w), jnp.full((1,), 0.5, jnp.float32),
+        jnp.full((1,), 6.0, jnp.float32),
+        jnp.full((1,), 10.0, jnp.float32))
+    np.testing.assert_allclose(res["depth"], np.asarray(ref[0][0]))
+    np.testing.assert_allclose(res["depth_dense"], np.asarray(ref[2][0]))
+
 
 def test_tandem_ate_cli(tmp_path, capsys):
     from tandem_tpu.cli import tandem_ate
