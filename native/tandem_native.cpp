@@ -212,7 +212,30 @@ void tandem_bgr_to_rgb_chw(const uint8_t* bgr, int w, int h, float* rgb_chw) {
   });
 }
 
-int tandem_native_version() { return 2; }
+// Multi-view uint8 BGR HWC -> RGB CHW repack for the MVSNet runner's
+// input contract (dr_mvsnet.cpp:180-250 does the same on the GPU; here
+// the device gets uint8 and normalizes on-chip, so the host only
+// reorders bytes). ~16 ms/KF in numpy for 7x480x640 — strided uint8
+// transposes defeat its vectorization; the row loop below is memory-
+// bound and parallelized across rows of all views.
+void tandem_bgr_pack_u8(const uint8_t* const* bgr_views, int n_views,
+                        int w, int h, uint8_t* out) {
+  ThreadPool::Instance().ParallelFor(n_views * h, 32, [&](int lo, int hi) {
+    for (int r = lo; r < hi; r++) {
+      int v = r / h, y = r % h;
+      const uint8_t* src = bgr_views[v] + (size_t)y * w * 3;
+      uint8_t* dst = out + ((size_t)v * 3) * w * h + (size_t)y * w;
+      const size_t plane = (size_t)w * h;
+      for (int x = 0; x < w; x++) {
+        dst[x] = src[x * 3 + 2];
+        dst[plane + x] = src[x * 3 + 1];
+        dst[2 * plane + x] = src[x * 3 + 0];
+      }
+    }
+  });
+}
+
+int tandem_native_version() { return 3; }
 
 }  // extern "C"
 

@@ -259,8 +259,8 @@ class MvsnetRunner:
         ref_index = self.view_num - 2 if ref_index is None else ref_index
         bgrs = self.reorder_ref_first(list(bgrs), ref_index)
         poses = self.reorder_ref_first(list(cam_to_worlds), ref_index)
-        rgb = np.stack([np.ascontiguousarray(b[..., ::-1]) for b in bgrs])
-        image = np.transpose(rgb, (0, 3, 1, 2))[None]  # (1, V, 3, H, W) u8
+        from ..native_bridge import bgr_pack_u8
+        image = bgr_pack_u8(bgrs)[None]  # (1, V, 3, H, W) u8
         K1, K2, K3 = stage_intrinsics_runtime(np.asarray(K, np.float32))
         Ks = tuple(k[None] for k in (K1, K2, K3))
         c2w = np.stack(poses)[None].astype(np.float32)

@@ -115,3 +115,16 @@ def test_reader_uses_prefetch(tmp_path):
     gray, ts, exp = r.get_image(0)
     bgr = r.get_image_bgr(0)
     assert gray.shape == (32, 64) and bgr.shape == (32, 64, 3)
+
+
+def test_bgr_pack_u8_matches_numpy():
+    from tandem_tpu.native_bridge import bgr_pack_u8
+
+    rng = np.random.RandomState(11)
+    bgrs = [rng.randint(0, 255, (32, 48, 3)).astype(np.uint8)
+            for _ in range(5)]
+    out = bgr_pack_u8(bgrs)
+    ref = np.ascontiguousarray(np.transpose(
+        np.stack([np.ascontiguousarray(b[..., ::-1]) for b in bgrs]),
+        (0, 3, 1, 2)))
+    assert out.dtype == np.uint8 and np.array_equal(out, ref)
