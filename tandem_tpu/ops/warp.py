@@ -36,13 +36,28 @@ def _pixel_projection_matrix(K, world_to_cam):
 
 def plane_sweep_warp(src_features, ref_depth, *, src_K, src_cam_to_world,
                      ref_K, ref_cam_to_world, min_depth_thres: float = 0.001,
-                     materialize: str = "positions"):
+                     materialize: str = "positions", plane_group: int = 1,
+                     patch: int = 4, patch_stride: int = 2):
     """Warp source features over reference depth hypotheses.
 
     :param src_features: (B, H, W, C)
     :param ref_depth: (B, D, H, W) depth hypotheses in the reference frame
     :param src_K, ref_K: (B, 3, 3)
     :param src_cam_to_world, ref_cam_to_world: (B, 4, 4)
+    :param plane_group: fetch this many CONSECUTIVE depth planes' samples per
+        pixel with ONE patch-row gather. The TPU HBM gather is issue-rate
+        bound (~420 M rows/s regardless of row width — docs/PERF.md), so
+        grouping divides the dominant warp cost by the group size. Valid
+        because cascade stages 2/3 use narrow adaptive depth ranges: the
+        group's bilinear corners almost always fit a small source patch. A
+        runtime ``lax.cond`` falls back to the plain per-sample gather for
+        the whole view whenever any group's valid corners would not fit, so
+        both branches produce the same bilinear result. 1 = plain path.
+    :param patch: patch side length in source pixels (plane_group > 1 only).
+    :param patch_stride: patch-table anchor stride; the table stores
+        ``patch x patch x C`` pixels per (y, x) anchor on this grid. Groups
+        whose valid corner span exceeds ``patch - patch_stride - 1`` pixels
+        on either axis trigger the fallback.
     :param materialize: which intermediates get an optimization barrier —
         "positions" (px/py/z, the default), "chain" (rows+weights), "out"
         (the warped volume), combinations ("positions+out"), or "none".
@@ -123,26 +138,106 @@ def plane_sweep_warp(src_features, ref_depth, *, src_K, src_cam_to_world,
     w11 = (wx1 * wy1 * ins).astype(dtype)
     xi = jnp.clip(x0, -1, W - 1).astype(jnp.int32) + 1   # [0, W]
     yi = jnp.clip(y0, -1, H - 1).astype(jnp.int32) + 1   # [0, H]
-    rows = yi * (W + 1) + xi
     # mask_valid stays OUT of the barrier: the cascade discards it, and a
     # barrier operand would force its materialization anyway.
     if "chain" in materialize:
-        rows, w00, w10, w01, w11 = lax.optimization_barrier(
-            (rows, w00, w10, w01, w11))
+        xi, yi, w00, w10, w01, w11 = lax.optimization_barrier(
+            (xi, yi, w00, w10, w01, w11))
 
-    packed = _pack_corners(src_features).reshape(
-        B * (H + 1) * (W + 1), 4 * C)
-    offs = (jnp.arange(B, dtype=jnp.int32)
-            * ((H + 1) * (W + 1)))[:, None, None, None]
-    g = packed[(rows + offs).reshape(-1)]                # (B*N, 4C)
-    warped = (g[:, 0 * C:1 * C] * w00.reshape(-1, 1)
-              + g[:, 1 * C:2 * C] * w10.reshape(-1, 1)
-              + g[:, 2 * C:3 * C] * w01.reshape(-1, 1)
-              + g[:, 3 * C:4 * C] * w11.reshape(-1, 1))
-    warped = warped.reshape(B, D, H, W, C)
+    def _plain(src, xi, yi, w00, w10, w01, w11):
+        rows = yi * (W + 1) + xi
+        packed = _pack_corners(src).reshape(B * (H + 1) * (W + 1), 4 * C)
+        offs = (jnp.arange(B, dtype=jnp.int32)
+                * ((H + 1) * (W + 1)))[:, None, None, None]
+        g = packed[(rows + offs).reshape(-1)]            # (B*N, 4C)
+        warped = (g[:, 0 * C:1 * C] * w00.reshape(-1, 1)
+                  + g[:, 1 * C:2 * C] * w10.reshape(-1, 1)
+                  + g[:, 2 * C:3 * C] * w01.reshape(-1, 1)
+                  + g[:, 3 * C:4 * C] * w11.reshape(-1, 1))
+        return warped.reshape(B, D, H, W, C)
+
+    if plane_group > 1 and D % plane_group == 0:
+        warped = _grouped_or_plain(
+            src_features, xi, yi, w00, w10, w01, w11, inside, _plain,
+            plane_group, patch, patch_stride)
+    else:
+        warped = _plain(src_features, xi, yi, w00, w10, w01, w11)
     if "out" in materialize:
         warped = lax.optimization_barrier(warped)
     return warped, mask_valid.astype(src_features.dtype)
+
+
+def _grouped_or_plain(src, xi, yi, w00, w10, w01, w11, inside, plain_fn,
+                      G: int, P: int, S: int):
+    """Patch-row gather over groups of G consecutive depth planes.
+
+    The plain path fetches one packed-corner row per (pixel, plane) sample;
+    the TPU gather is issue-rate bound, so the row COUNT is the cost. Here
+    every G consecutive planes of a pixel share ONE gathered row holding a
+    P x P x C source patch anchored on an S-strided grid, dividing the row
+    count by G. Exact: each sample's bilinear corners are read from the
+    patch with the same per-corner weights as the plain path (only the
+    f32->dtype weight rounding points and the 4-term add order coincide up
+    to reassociation). A scalar ``lax.cond`` falls back to ``plain_fn`` for
+    the whole view when any group's VALID corners would not fit its patch
+    (per-axis span > P - S - 1); invalid samples carry zero weights, so
+    their positions are excluded from the anchor/span.
+    """
+    B, D, Hh, Ww = xi.shape
+    C = src.shape[-1]
+    DG = D // G
+    SY, SX = Hh // S + 1, Ww // S + 1
+
+    xi_g = xi.reshape(B, DG, G, Hh, Ww)
+    yi_g = yi.reshape(B, DG, G, Hh, Ww)
+    ins_g = inside.reshape(B, DG, G, Hh, Ww)
+    BIG = jnp.int32(1 << 24)
+    ymin = jnp.min(jnp.where(ins_g, yi_g, BIG), axis=2)
+    ymax = jnp.max(jnp.where(ins_g, yi_g, -1), axis=2)
+    xmin = jnp.min(jnp.where(ins_g, xi_g, BIG), axis=2)
+    xmax = jnp.max(jnp.where(ins_g, xi_g, -1), axis=2)
+    sy = jnp.clip(ymin // S, 0, SY - 1)
+    sx = jnp.clip(xmin // S, 0, SX - 1)
+    # ymax = -1 (no valid sample in the group) passes automatically.
+    ok = jnp.all((ymax + 1 - sy * S <= P - 1)
+                 & (xmax + 1 - sx * S <= P - 1))
+
+    def grouped(_):
+        # Patch table: row (sy, sx) = padded[sy*S : sy*S+P, sx*S : sx*S+P]
+        # flattened; padded coords equal the +1-shifted xi/yi coords.
+        need_h = (SY - 1) * S + P
+        need_w = (SX - 1) * S + P
+        p2 = jnp.pad(src, ((0, 0), (1, need_h - Hh - 1),
+                           (1, need_w - Ww - 1), (0, 0)))
+        parts = []
+        for dy in range(P):
+            for dx in range(P):
+                parts.append(p2[:, dy:dy + (SY - 1) * S + 1:S,
+                                dx:dx + (SX - 1) * S + 1:S, :])
+        tbl = jnp.concatenate(parts, -1).reshape(B * SY * SX, P * P * C)
+
+        offs = (jnp.arange(B, dtype=jnp.int32) * (SY * SX))[:, None, None,
+                                                            None]
+        rows = sy * SX + sx + offs                        # (B, DG, H, W)
+        gr = tbl[rows.reshape(-1)].reshape(B, DG, Hh, Ww, P * P, C)
+
+        ly = yi_g - (sy * S)[:, :, None]
+        lx = xi_g - (sx * S)[:, :, None]
+        i00 = ly * P + lx                                 # (B, DG, G, H, W)
+        k = jnp.arange(P * P, dtype=jnp.int32)
+        d = k - i00[..., None]                            # (..., P*P)
+        zero = jnp.zeros((), src.dtype)
+        m = (jnp.where(d == 0, w00.reshape(i00.shape)[..., None], zero)
+             + jnp.where(d == 1, w10.reshape(i00.shape)[..., None], zero)
+             + jnp.where(d == P, w01.reshape(i00.shape)[..., None], zero)
+             + jnp.where(d == P + 1, w11.reshape(i00.shape)[..., None],
+                         zero))
+        out = jnp.einsum("bdghwk,bdhwkc->bdghwc", m, gr)
+        return out.reshape(B, D, Hh, Ww, C)
+
+    return lax.cond(ok, grouped,
+                    lambda _: plain_fn(src, xi, yi, w00, w10, w01, w11),
+                    None)
 
 
 def _rigid_inverse(T):
