@@ -9,6 +9,12 @@ Hessian with one-hot einsums; the per-point Schur complement is a vectorized
 rank-1 elimination (each point's inverse depth is scalar). An autodiff
 reference residual (_residual_one) is kept for Jacobian validation tests.
 
+The frame system is (8F+4)-dimensional like DSO's (NumType.h CPARS=4): 8
+parameters per frame slot plus 4 global camera-intrinsics corrections
+(fx, fy, cx, cy), anchored at the boot calibration by DSO's
+setting_initialCalibHessian prior and marginalized with FEJ like the frame
+block.
+
 Structure (fixed shapes, all masked):
 - F frame slots: camera-to-world pose (4,4), affine (a, b) per frame.
 - N point slots: host frame index, pixel (u, v), inverse depth, 8-pattern
@@ -55,17 +61,29 @@ class BAState(NamedTuple):
     pt_idepth: jnp.ndarray   # (N,) float32
     pt_color: jnp.ndarray    # (N, 8) host pattern intensities
     pt_valid: jnp.ndarray    # (N,) bool
-    # Marginalization prior over frame parameters (8 per slot): H, b with
-    # energy 0.5 d^T H d + b^T d where d is the deviation from the FEJ
-    # linearization point (poses_lin, aff_lin) — DSO keeps first-estimate
-    # Jacobians for marginalized information (EnergyFunctional HM/bM).
-    Hm: jnp.ndarray          # (F*8, F*8)
-    bm: jnp.ndarray          # (F*8,)
+    # Marginalization prior over frame + calib parameters (8 per slot + 4
+    # calib appended at the end): H, b with energy 0.5 d^T H d + b^T d where
+    # d is the deviation from the FEJ linearization point (poses_lin,
+    # aff_lin, calib_lin) — DSO keeps first-estimate Jacobians for
+    # marginalized information (EnergyFunctional HM/bM, sized 8F+CPARS).
+    Hm: jnp.ndarray          # (F*8+4, F*8+4)
+    bm: jnp.ndarray          # (F*8+4,)
     poses_lin: jnp.ndarray   # (F, 4, 4) FEJ linearization point
     aff_lin: jnp.ndarray     # (F, 2)
+    # Camera-intrinsics correction (d_fx, d_fy, d_cx, d_cy) on top of the
+    # boot calibration passed to the solve — DSO's CalibHessian state (the
+    # 4 CPARS entries of its (8F+4) system, NumType.h:54), anchored at the
+    # boot value by setting_initialCalibHessian (settings.cpp:52).
+    calib: jnp.ndarray       # (4,)
+    calib_lin: jnp.ndarray   # (4,)
 
 
-def create_ba_state(num_frames: int, num_points: int) -> BAState:
+def create_ba_state(num_frames: int, num_points: int,
+                    calib_prior: float = 2e6) -> BAState:
+    """:param calib_prior: anchor Hessian on each calib parameter at the boot
+    calibration, seeded into the marginalization prior exactly like DSO's
+    setting_initialCalibHessian=5e9 on SCALE_F/SCALE_C=50-scaled variables
+    (settings.cpp:52, i.e. 5e9/50^2 = 2e6 on raw pixels)."""
     F, N = num_frames, num_points
     return BAState(
         poses=jnp.broadcast_to(jnp.eye(4), (F, 4, 4)),
@@ -76,10 +94,14 @@ def create_ba_state(num_frames: int, num_points: int) -> BAState:
         pt_idepth=jnp.ones((N,)),
         pt_color=jnp.zeros((N, 8)),
         pt_valid=jnp.zeros((N,), jnp.bool_),
-        Hm=jnp.zeros((F * 8, F * 8)),
-        bm=jnp.zeros((F * 8,)),
+        Hm=jnp.zeros((F * 8 + 4, F * 8 + 4)).at[
+            jnp.arange(F * 8, F * 8 + 4),
+            jnp.arange(F * 8, F * 8 + 4)].set(calib_prior),
+        bm=jnp.zeros((F * 8 + 4,)),
         poses_lin=jnp.broadcast_to(jnp.eye(4), (F, 4, 4)),
         aff_lin=jnp.zeros((F, 2)),
+        calib=jnp.zeros((4,)),
+        calib_lin=jnp.zeros((4,)),
     )
 
 
@@ -92,7 +114,7 @@ def _prior_delta(state: BAState):
     d_aff = state.aff - state.aff_lin             # (F, 2)
     d = jnp.concatenate([d_pose, d_aff], -1)
     d = jnp.where(state.frame_valid[:, None], d, 0.0)
-    return d.reshape(-1)
+    return jnp.concatenate([d.reshape(-1), state.calib - state.calib_lin])
 
 
 def gauge_nullspaces(poses, frame_valid):
@@ -101,8 +123,9 @@ def gauge_nullspaces(poses, frame_valid):
     directions (global translation x3, rotation x3, scale) plus 2 global
     affine shifts — evaluated numerically via the group action so the
     increment convention (c2w <- c2w exp(-dx)) is matched by construction.
+    The 4 trailing calib rows are zero (gauge motions do not move K).
 
-    :return: (F*8, 9) matrix of nullspace columns.
+    :return: (F*8+4, 9) matrix of nullspace columns.
     """
     F = poses.shape[0]
     eps = 1e-4
@@ -130,7 +153,8 @@ def gauge_nullspaces(poses, frame_valid):
         da = jnp.zeros((F, 2)).at[:, j].set(1.0)
         da = jnp.where(frame_valid[:, None], da, 0.0)
         cols.append(jnp.concatenate([jnp.zeros((F, 6)), da], -1).reshape(-1))
-    return jnp.stack(cols, -1)                    # (F*8, 9)
+    ns = jnp.stack(cols, -1)                      # (F*8, 9)
+    return jnp.concatenate([ns, jnp.zeros((4, ns.shape[1]))], 0)
 
 
 def _orthogonalize_prior(Hm, bm, nullspaces):
@@ -169,13 +193,16 @@ def _bilinear(img, x, y):
 
 
 def _residual_one(dx_h, dx_t, id_n, pose_h, pose_t, aff_h, aff_t, uv, colors,
-                  img_t, K):
+                  img_t, K, dk=None):
     """8-pattern residual of one point in one target frame.
 
     dx_h/dx_t: (8,) parameter increments [xi(6), da, db] applied on top of the
-    linearization (pose_*, aff_*). Autodiff happens wrt these.
+    linearization (pose_*, aff_*); dk: (4,) calib increment on (fx, fy, cx,
+    cy). Autodiff happens wrt these.
     """
-    fx, fy, cx, cy = K
+    if dk is None:
+        dk = jnp.zeros(4)
+    fx, fy, cx, cy = (K[0] + dk[0], K[1] + dk[1], K[2] + dk[2], K[3] + dk[3])
     c2w_h = pose_h @ se3_exp(-dx_h[:6])       # left-increment on world-to-cam
     c2w_t = pose_t @ se3_exp(-dx_t[:6])
     a_h = aff_h[0] + dx_h[6]
@@ -260,10 +287,15 @@ def _system_terms(state: BAState, images, K):
 
     :param images: (F, H, W) level-0 intensities
     :return: r (N, F, 8), J_frames (N, F, 8, 16) wrt [host(8), target(8)]
-        with per-slot layout [xi(6), a, b], J_id (N, F, 8), w (N, F, 8),
-        active (N, F)
+        with per-slot layout [xi(6), a, b], J_id (N, F, 8), J_K (N, F, 8, 4)
+        wrt (fx, fy, cx, cy), w (N, F, 8), active (N, F)
     """
-    fx, fy, cx, cy = K
+    # Effective calibration = boot K + the solve's calib correction (DSO
+    # CalibHessian value_scaled = initial + step).
+    fx = K[0] + state.calib[0]
+    fy = K[1] + state.calib[1]
+    cx = K[2] + state.calib[2]
+    cy = K[3] + state.calib[3]
     F, H, W = images.shape
     N = state.pt_frame.shape[0]
 
@@ -344,6 +376,20 @@ def _system_terms(state: BAState, images, K):
     # idepth: dq/did = t
     Ji = jnp.einsum("nfpi,nfi->nfp", g_dq, t)
 
+    # Calibration (fx, fy, cx, cy): K enters twice — host back-projection
+    # ray = K^-1 [u v 1] and target projection p = K q / qz (DSO's
+    # ResidualProjections projectPoint both-sides derivative):
+    #   d ray/d fx = [-rx/fx, 0, 0], d ray/d cx = [-1/fx, 0, 0] (sym. y)
+    #   direct: d px/d fx = q0/qz, d px/d cx = 1 (sym. y)
+    # chain term g^T R col_k is already available as g_R.
+    rx = ray[..., 0][:, None, :]                               # (N, 1, 8)
+    ry = ray[..., 1][:, None, :]
+    J_fx = gx * q[..., 0] * inv_z - (rx / fx) * g_R[..., 0]
+    J_fy = gy * q[..., 1] * inv_z - (ry / fy) * g_R[..., 1]
+    J_cx = gx - g_R[..., 0] / fx
+    J_cy = gy - g_R[..., 1] / fy
+    J_K = jnp.stack([J_fx, J_fy, J_cx, J_cy], -1)              # (N, F, 8, 4)
+
     Jf = jnp.concatenate([
         Jh_v, Jh_w, Jh_a[..., None], Jh_b[..., None],
         Jt_v, Jt_w, Jt_a[..., None], Jt_b[..., None]], -1)     # (N, F, 8, 16)
@@ -354,14 +400,15 @@ def _system_terms(state: BAState, images, K):
     absr = jnp.abs(r)
     hw = jnp.where(absr < HUBER_TH, 1.0, HUBER_TH / jnp.maximum(absr, 1e-9))
     w = hw * ok.astype(jnp.float32) * active[..., None].astype(jnp.float32)
-    return r, Jf, Ji, w, active
+    return r, Jf, Ji, J_K, w, active
 
 
-def _assemble(state: BAState, r, Jf, Ji, w):
-    """Build the Schur-reduced frame system."""
+def _assemble(state: BAState, r, Jf, Ji, J_K, w):
+    """Build the Schur-reduced frame+calib system (8F+4 columns; the 4
+    calib columns are global — every residual contributes directly)."""
     F = state.poses.shape[0]
     N = state.pt_frame.shape[0]
-    P = F * 8
+    P = F * 8 + 4
 
     host_oh = jax.nn.one_hot(state.pt_frame, F)          # (N, F)
     tgt_oh = jnp.eye(F)                                   # (F, F)
@@ -371,7 +418,7 @@ def _assemble(state: BAState, r, Jf, Ji, w):
     Jt = Jf[..., 8:]
     G = (Jh[:, :, :, None, :] * host_oh[:, None, None, :, None]
          + Jt[:, :, :, None, :] * tgt_oh[None, :, None, :, None])
-    G = G.reshape(N, F, 8, P)
+    G = jnp.concatenate([G.reshape(N, F, 8, F * 8), J_K], -1)
 
     wG = G * w[..., None]
     H_ff = jnp.einsum("nfrp,nfrq->pq", wG, G)
@@ -389,7 +436,7 @@ def _total_energy(state: BAState, images, K):
     """Residual energy + marginalization-prior energy at the current
     estimate (the quantity DSO's LM accept/reject compares,
     FullSystemOptimize.cpp:470-545 + calcMEnergy)."""
-    r, Jf, Ji, w, active = _system_terms(state, images, K)
+    r, Jf, Ji, J_K, w, active = _system_terms(state, images, K)
     e_res = jnp.sum(w * r * r)
     d = _prior_delta(state)
     e_pr = 2.0 * jnp.dot(state.bm, d) + jnp.dot(d, state.Hm @ d)
@@ -407,13 +454,16 @@ def ba_iterate(state: BAState, images, K, iters: int = 6,
     with first-estimate Jacobians: H stays fixed, b is evaluated as
     bm + Hm @ delta(x, x_lin) (FEJ).
 
-    :param images: (F, H, W); K: (fx, fy, cx, cy) tuple of scalars
+    :param images: (F, H, W); K: (fx, fy, cx, cy) tuple of scalars (boot
+        calibration; the solve's 4 calib parameters correct it via
+        state.calib, anchored by the prior seeded in create_ba_state)
     :return: (new_state, energy)
     """
     F = state.poses.shape[0]
-    P = F * 8
+    P = F * 8 + 4
 
-    # Gauge priors: lock frame 0 (pose+aff); weak idepth prior.
+    # Gauge priors: lock frame 0 (pose+aff); weak idepth prior. The calib
+    # anchor lives in the marginalization prior (create_ba_state).
     gauge = jnp.zeros((P,)).at[:8].set(1e8)
 
     def prior_energy(cur):
@@ -421,8 +471,8 @@ def ba_iterate(state: BAState, images, K, iters: int = 6,
         return 2.0 * jnp.dot(cur.bm, d) + jnp.dot(d, cur.Hm @ d)
 
     def system_of(cur):
-        r, Jf, Ji, w, _ = _system_terms(cur, images, K)
-        H_ff, b_f, H_pp, H_fp, b_p, e_res = _assemble(cur, r, Jf, Ji, w)
+        r, Jf, Ji, J_K, w, _ = _system_terms(cur, images, K)
+        H_ff, b_f, H_pp, H_fp, b_p, e_res = _assemble(cur, r, Jf, Ji, J_K, w)
         return H_ff, b_f, H_pp, H_fp, b_p, e_res + prior_energy(cur)
 
     # The residual system of the ACCEPTED state rides in the loop carry so
@@ -436,9 +486,10 @@ def ba_iterate(state: BAState, images, K, iters: int = 6,
         return (it < iters) & ~done
 
     def body(carry):
-        (it, done, poses, aff, idepth, lam, energy,
+        (it, done, poses, aff, idepth, calib, lam, energy,
          H_ff_r, b_f_r, H_pp, H_fp, b_p) = carry
-        cur = state._replace(poses=poses, aff=aff, pt_idepth=idepth)
+        cur = state._replace(poses=poses, aff=aff, pt_idepth=idepth,
+                             calib=calib)
 
         # FEJ prior: fixed Hm, b transported to the current estimate.
         d = _prior_delta(cur)
@@ -464,16 +515,17 @@ def ba_iterate(state: BAState, images, K, iters: int = 6,
         dx = jnp.where(finite, dx, 0.0)
         d_id = jnp.where(finite, d_id, 0.0)
 
-        dxf = dx.reshape(F, 8)
+        dxf = dx[:F * 8].reshape(F, 8)
         upd = cur.frame_valid[:, None]
         new_poses = jnp.einsum(
             "fij,fjk->fik", poses,
             se3_exp(-jnp.where(upd, dxf[:, :6], 0.0)))
         new_aff = aff + jnp.where(upd, dxf[:, 6:], 0.0)
         new_id = jnp.clip(idepth + d_id, 1e-4, 1e3)
+        new_calib = calib + dx[F * 8:]
 
         cand = state._replace(poses=new_poses, aff=new_aff,
-                              pt_idepth=new_id)
+                              pt_idepth=new_id, calib=new_calib)
         cH_ff, cb_f, cH_pp, cH_fp, cb_p, e_new = system_of(cand)
         accept = jnp.isfinite(e_new) & (e_new < energy)
 
@@ -485,17 +537,18 @@ def ba_iterate(state: BAState, images, K, iters: int = 6,
         sel = lambda a, b: jnp.where(accept, a, b)
         return (it + 1, done_new,
                 sel(new_poses, poses), sel(new_aff, aff),
-                sel(new_id, idepth), lam_new,
+                sel(new_id, idepth), sel(new_calib, calib), lam_new,
                 jnp.where(accept, e_new, energy),
                 sel(cH_ff, H_ff_r), sel(cb_f, b_f_r), sel(cH_pp, H_pp),
                 sel(cH_fp, H_fp), sel(cb_p, b_p))
 
     carry = (jnp.int32(0), jnp.bool_(False), state.poses, state.aff,
-             state.pt_idepth, jnp.float32(1e-3), sys0[5],
+             state.pt_idepth, state.calib, jnp.float32(1e-3), sys0[5],
              sys0[0], sys0[1], sys0[2], sys0[3], sys0[4])
     carry = lax.while_loop(cond, body, carry)
-    _, _, poses, aff, idepth, _, energy, *_ = carry
-    return state._replace(poses=poses, aff=aff, pt_idepth=idepth), energy
+    _, _, poses, aff, idepth, calib, _, energy, *_ = carry
+    return state._replace(poses=poses, aff=aff, pt_idepth=idepth,
+                          calib=calib), energy
 
 
 @jax.jit
@@ -504,7 +557,7 @@ def remove_outliers(state: BAState, images, K,
     """Deactivate points whose mean per-pixel residual energy across their
     active observations exceeds the threshold (FullSystem removeOutliers /
     flagPointsForRemoval semantics)."""
-    r, Jf, Ji, w, active = _system_terms(state, images, K)
+    r, Jf, Ji, J_K, w, active = _system_terms(state, images, K)
     ok = (w > 0).astype(jnp.float32)
     e = jnp.sum(r * r * ok, axis=(1, 2)) / jnp.maximum(
         jnp.sum(ok, axis=(1, 2)), 1.0)
@@ -526,14 +579,14 @@ def marginalize_frame(state: BAState, images, K, frame_idx):
     absorbed (the reference marginalizes good ones via flagPointsForRemoval).
     """
     F = state.poses.shape[0]
-    P = F * 8
+    P = F * 8 + 4
 
-    r, Jf, Ji, w, active = _system_terms(state, images, K)
+    r, Jf, Ji, J_K, w, active = _system_terms(state, images, K)
     # Keep only residual pairs that involve the marginalized frame.
     involved = ((state.pt_frame[:, None] == frame_idx)
                 | (jnp.arange(F)[None, :] == frame_idx))       # (N, F)
     w = w * involved[..., None].astype(w.dtype)
-    H_ff, b_f, H_pp, H_fp, b_p, _ = _assemble(state, r, Jf, Ji, w)
+    H_ff, b_f, H_pp, H_fp, b_p, _ = _assemble(state, r, Jf, Ji, J_K, w)
 
     # Schur-eliminate the involved points' idepths from this sub-system
     # (their host-frame block couples through H_fp).
@@ -575,4 +628,5 @@ def marginalize_frame(state: BAState, images, K, frame_idx):
         frame_valid=new_frame_valid,
         pt_valid=state.pt_valid & ~drop_pts,
         Hm=Hm_new, bm=bm_new,
-        poses_lin=state.poses, aff_lin=state.aff)
+        poses_lin=state.poses, aff_lin=state.aff,
+        calib_lin=state.calib)

@@ -47,8 +47,9 @@ def test_analytic_jacobians_match_finite_differences():
         pt_color=jnp.asarray(rng.rand(N, 8).astype(np.float32) * 100),
         pt_valid=jnp.ones(N, bool))
 
-    r, Jf, Ji, w, active = _system_terms(state, images, K)
+    r, Jf, Ji, J_K, w, active = _system_terms(state, images, K)
     zero8 = jnp.zeros(8)
+    zero4 = jnp.zeros(4)
     checked = 0
 
     for n in range(N):
@@ -56,11 +57,11 @@ def test_analytic_jacobians_match_finite_differences():
             if host[n] == f or not bool((w[n, f] > 0).all()):
                 continue
 
-            def res(dh, dt, di):
+            def res(dh, dt, di, dk=zero4):
                 rr, _ = _residual_one(
                     dh, dt, state.pt_idepth[n] + di, state.poses[host[n]],
                     state.poses[f], state.aff[host[n]], state.aff[f],
-                    state.pt_uv[n], state.pt_color[n], images[f], K)
+                    state.pt_uv[n], state.pt_color[n], images[f], K, dk)
                 return np.asarray(rr)
 
             np.testing.assert_allclose(np.asarray(r[n, f]),
@@ -82,10 +83,18 @@ def test_analytic_jacobians_match_finite_differences():
             Jt_fd = fd_block(1)
             Ji_fd = (res(zero8, zero8, H_STEP)
                      - res(zero8, zero8, -H_STEP)) / (2 * H_STEP)
+            Jk_fd = np.zeros((8, 4), np.float32)
+            for k in range(4):
+                e = np.zeros(4, np.float32)
+                e[k] = H_STEP
+                Jk_fd[:, k] = (res(zero8, zero8, 0.0, jnp.asarray(e))
+                               - res(zero8, zero8, 0.0, jnp.asarray(-e))
+                               ) / (2 * H_STEP)
 
             for mine, ref in ((np.asarray(Jf[n, f, :, :8]), Jh_fd),
                               (np.asarray(Jf[n, f, :, 8:]), Jt_fd),
-                              (np.asarray(Ji[n, f]), Ji_fd)):
+                              (np.asarray(Ji[n, f]), Ji_fd),
+                              (np.asarray(J_K[n, f]), Jk_fd)):
                 diff = np.linalg.norm(mine - ref)
                 denom = max(np.linalg.norm(ref), 1e-6)
                 assert diff / denom < 0.10 or diff < 2.5, (diff, denom)
