@@ -265,6 +265,139 @@ def integrate(cfg: TsdfConfig, vol: TsdfVolume, depth, color, K, cam_to_world,
     return vol
 
 
+@partial(jax.jit, static_argnums=(0, 4, 5))
+def visible_slots(cfg: TsdfConfig, vol: TsdfVolume, K, cam_to_world,
+                  height: int, width: int):
+    """Frustum-cull the allocated blocks for one camera (the reference's
+    IntegrateScanKernel per-entry frustum early-out, tsdf_volume.cu:436-):
+    block centers projected with a conservative block-radius margin.
+
+    :return: (slots, n_visible) — slots (pool_size,) int32 with the visible
+        pool slots compacted to the front and cfg.pool_size (= drop
+        sentinel) padding; n_visible () int32.
+
+    Exactness: a culled integrate updates the same voxels as the full walk —
+    blocks outside the frustum project outside the image and already fail
+    the in_img test — so integrate(slots=...) == integrate() always.
+    """
+    P = cfg.pool_size
+    centers = (vol.block_coords.astype(jnp.float32) + 0.5) * cfg.block_extent
+    R = cam_to_world[:3, :3].T
+    t = -R @ cam_to_world[:3, 3]
+    cam = centers @ R.T + t                               # (P, 3)
+    r = cfg.block_extent * (3.0 ** 0.5) / 2.0             # bounding radius
+    z = cam[:, 2]
+    fx, fy, cx, cy = K[0, 0], K[1, 1], K[0, 2], K[1, 2]
+    z_safe = jnp.maximum(z, 1e-3)
+    u = fx * cam[:, 0] / z_safe + cx
+    v = fy * cam[:, 1] / z_safe + cy
+    m = jnp.maximum(fx, fy) * r / jnp.maximum(z - r, 1e-3)
+    in_depth = (z + r > cfg.min_depth) & (z - r < cfg.max_depth)
+    in_img = ((u + m >= 0) & (u - m <= width - 1)
+              & (v + m >= 0) & (v - m <= height - 1))
+    near = jnp.sum(cam * cam, -1) <= (2.0 * r) ** 2       # camera inside
+    alloc = jnp.arange(P) < vol.n_allocated
+    vis = alloc & (near | ((z > 0) & in_depth & in_img))
+
+    rank = jnp.cumsum(vis.astype(jnp.int32)) - 1
+    slots = jnp.full((P,), P, jnp.int32).at[
+        jnp.where(vis, rank, P)].set(jnp.arange(P, dtype=jnp.int32),
+                                     mode="drop")
+    return slots, jnp.sum(vis.astype(jnp.int32))
+
+
+@partial(jax.jit, static_argnums=(0, 7), donate_argnums=(1,))
+def _integrate_chunk_gather(cfg: TsdfConfig, vol: TsdfVolume, depth_color, K,
+                            w2c_R, w2c_t, slots, chunk: int):
+    """_integrate_chunk over an explicit slot list (frustum-culled path):
+    rows are gathered by slot and scattered back; sentinel slots (=
+    pool_size) are dropped by the scatter."""
+    HW = depth_color.shape[0]
+    b = cfg.block_size
+    B3 = b ** 3
+    safe = jnp.clip(slots, 0, cfg.pool_size - 1)
+    active = slots < cfg.pool_size
+
+    coords = vol.block_coords[safe]
+    tsdf_c = vol.tsdf[safe]
+    weight_c = vol.weight[safe]
+    color_c = vol.color[safe]
+
+    li = jnp.arange(B3, dtype=jnp.int32)
+    lx = (li % b).astype(jnp.float32)
+    ly = ((li // b) % b).astype(jnp.float32)
+    lz = (li // (b * b)).astype(jnp.float32)
+    base = coords.astype(jnp.float32) * b
+    vs = cfg.voxel_size
+    wx = (base[:, 0:1] + lx[None]) * vs
+    wy = (base[:, 1:2] + ly[None]) * vs
+    wz = (base[:, 2:3] + lz[None]) * vs
+    xc = w2c_R[0, 0] * wx + w2c_R[0, 1] * wy + w2c_R[0, 2] * wz + w2c_t[0]
+    yc = w2c_R[1, 0] * wx + w2c_R[1, 1] * wy + w2c_R[1, 2] * wz + w2c_t[1]
+    z = w2c_R[2, 0] * wx + w2c_R[2, 1] * wy + w2c_R[2, 2] * wz + w2c_t[2]
+
+    fx, fy, cx, cy = K[0, 0], K[1, 1], K[0, 2], K[1, 2]
+    img_w = cfg.image_width
+    img_h = HW // img_w
+    z_safe = jnp.where(z <= 1e-6, 1.0, z)
+    u = jnp.round(fx * xc / z_safe + cx).astype(jnp.int32)
+    v = jnp.round(fy * yc / z_safe + cy).astype(jnp.int32)
+    in_img = (z > 0) & (u >= 0) & (u < img_w) & (v >= 0) & (v < img_h)
+
+    pix = jnp.where(in_img, v * img_w + u, 0).reshape(-1)
+    dc = depth_color[pix].reshape(chunk, B3, 4)
+    d_px = dc[..., 0]
+    c_px = dc[..., 1:]
+    d_ok = (d_px > 0) & (d_px >= cfg.min_depth) & (d_px < cfg.max_depth)
+
+    ru = (u.astype(jnp.float32) - cx) / fx
+    rv = (v.astype(jnp.float32) - cy) / fy
+    surface_dist = d_px * jnp.sqrt(ru * ru + rv * rv + 1.0)
+    voxel_dist = jnp.sqrt(xc * xc + yc * yc + z * z)
+
+    in_band = (voxel_dist > surface_dist - cfg.truncation) & \
+              (voxel_dist < surface_dist + cfg.truncation)
+    in_free = voxel_dist < surface_dist - cfg.truncation
+    update = active[:, None] & in_img & d_ok & (in_band | in_free)
+    sdf_new = jnp.where(in_band, surface_dist - voxel_dist, cfg.truncation)
+
+    denom = weight_c + 1.0
+    tsdf_n = jnp.where(update, (tsdf_c * weight_c + sdf_new) / denom, tsdf_c)
+    color_n = jnp.where(update[..., None],
+                        (color_c * weight_c[..., None] + c_px)
+                        / denom[..., None], color_c)
+    weight_n = jnp.where(update, jnp.minimum(denom, cfg.max_weight), weight_c)
+
+    return vol.replace(
+        tsdf=vol.tsdf.at[slots].set(tsdf_n, mode="drop"),
+        weight=vol.weight.at[slots].set(weight_n, mode="drop"),
+        color=vol.color.at[slots].set(color_n, mode="drop"))
+
+
+def integrate_culled(cfg: TsdfConfig, vol: TsdfVolume, depth, color, K,
+                     cam_to_world, slots, n_visible: int, chunk: int = 2048):
+    """integrate() over a frustum-culled slot list from visible_slots():
+    device cost scales with the VISIBLE surface instead of everything ever
+    allocated (long sequences keep integrating at constant cost).
+
+    :param n_visible: host-known visible count (int(n_vis) — fetch it
+        alongside the allocation count, one bundled sync per keyframe)
+    """
+    H, W = depth.shape
+    cfg = dataclasses.replace(cfg, image_width=W)
+    depth_color, w2c_R, w2c_t = _pack_scan(depth, color, cam_to_world)
+    chunk = min(chunk, cfg.pool_size)
+    # Pad with drop sentinels so the last dynamic_slice never clamps its
+    # start backwards (a clamped slice would re-integrate earlier slots).
+    slots = jnp.concatenate(
+        [slots, jnp.full((chunk,), cfg.pool_size, jnp.int32)])
+    for start in range(0, max(n_visible, 1), chunk):
+        sl = jax.lax.dynamic_slice_in_dim(slots, start, chunk, 0)
+        vol = _integrate_chunk_gather(cfg, vol, depth_color, K, w2c_R,
+                                      w2c_t, sl, chunk)
+    return vol
+
+
 def _get_voxels(cfg: TsdfConfig, vol: TsdfVolume, pts_w):
     """Lookup (sdf, weight, color) at world points. pts_w: (N, 3) ->
     sdf (N,), weight (N,), color (N, 3). Unallocated -> weight 0."""

@@ -24,7 +24,8 @@ import jax.numpy as jnp
 import numpy as np
 
 from ..mapping.tsdf import (TsdfConfig, allocate_blocks, create_volume,
-                            integrate, raycast, render_depth_splat)
+                            integrate, integrate_culled, raycast,
+                            render_depth_splat, visible_slots)
 from ..mapping.mesh import extract_mesh
 from ..utils.timer import Timer
 
@@ -92,17 +93,23 @@ class TandemBackend:
             pose = jnp.asarray(ref_c2w)
             self.volume = allocate_blocks(self.cfg, self.volume, depth, Kj,
                                           pose)
-            # One sync per keyframe: the host-side chunk count for the
-            # integrate/render loops (avoids per-call blocking syncs).
+            # One bundled sync per keyframe: the host-side chunk counts for
+            # the integrate/render loops (avoids per-call blocking syncs).
+            slots, n_vis = visible_slots(self.cfg, self.volume, Kj, pose,
+                                         self.H, self.W)
             self._n_alloc = int(self.volume.n_allocated)
+            n_vis = int(n_vis)
             # Integrate, then render from the next tracking reference pose
             # as two chunked passes. NOTE: fusing both into one chunk
             # program (sharing the slicing + voxel coords) measured SLOWER
             # on the v5e (37.6 vs 34.9 ms) — XLA schedules the combined
             # program worse than the parts (same lesson as the edge-filter
             # split, docs/PERF.md "fusion-boundary") — so the split stays.
-            self.volume = integrate(self.cfg, self.volume, depth, rgb, Kj,
-                                    pose, n_allocated=self._n_alloc)
+            # Frustum-culled integrate: device cost scales with the VISIBLE
+            # surface, not everything ever allocated (the reference's
+            # per-hash-entry frustum early-out, tsdf_volume.cu:436-).
+            self.volume = integrate_culled(self.cfg, self.volume, depth, rgb,
+                                           Kj, pose, slots, n_vis)
             rdepth = render_depth_splat(self.cfg, self.volume, Kj,
                                         jnp.asarray(next_ref_c2w),
                                         self.H, self.W,

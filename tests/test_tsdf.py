@@ -58,6 +58,47 @@ def test_allocate_and_integrate_wall():
     assert int(vol2.n_allocated) == n1
 
 
+def test_integrate_culled_matches_full():
+    """Frustum-culled integrate == full-pool walk, exactly: blocks outside
+    the frustum fail the in_img test in the full walk anyway, so culling
+    only removes no-op work. Also: an away-facing camera sees ~no blocks."""
+    from tandem_tpu.mapping.tsdf import integrate_culled, visible_slots
+
+    K, pose = _camera()
+    depth = _wall_depth()
+    color = jnp.broadcast_to(jnp.array([200.0, 60.0, 30.0]), (H, W, 3))
+
+    vol = create_volume(CFG)
+    vol = allocate_blocks(CFG, vol, depth, K, pose)
+    n_alloc = int(vol.n_allocated)
+
+    slots, n_vis = visible_slots(CFG, vol, K, pose, H, W)
+    n_vis = int(n_vis)
+    assert 0 < n_vis <= n_alloc
+    # the facing camera sees (nearly) everything it allocated
+    assert n_vis > 0.9 * n_alloc
+
+    vol_full = integrate(CFG, vol, depth, color, K, pose, chunk=1024)
+    vol_cull = integrate_culled(CFG, vol, depth, color, K, pose, slots,
+                                n_vis, chunk=1024)
+    np.testing.assert_array_equal(np.asarray(vol_full.tsdf),
+                                  np.asarray(vol_cull.tsdf))
+    np.testing.assert_array_equal(np.asarray(vol_full.weight),
+                                  np.asarray(vol_cull.weight))
+    np.testing.assert_array_equal(np.asarray(vol_full.color),
+                                  np.asarray(vol_cull.color))
+
+    # Away-facing camera: nothing visible, nothing changed
+    away = np.eye(4, dtype=np.float32)
+    away[:3, :3] = np.diag([1.0, -1.0, -1.0])   # rotate 180 deg about x
+    away = jnp.asarray(away)
+    slots_a, n_vis_a = visible_slots(CFG, vol_cull, K, away, H, W)
+    assert int(n_vis_a) < 0.05 * n_alloc
+    vol_a = integrate_culled(CFG, vol_cull, depth, color, K, away, slots_a,
+                             int(n_vis_a), chunk=1024)
+    assert np.asarray(vol_a.weight).max() == 1.0  # no double integration
+
+
 def test_raycast_roundtrip_wall():
     K, pose = _camera()
     depth = _wall_depth(2.0)
