@@ -60,7 +60,7 @@ def main(n_frames=60):
     backend = TandemBackend(runner, TsdfConfig(), K_mat, H, W,
                             mesh_extraction_freq=0, timer=timer)
     opts = FullSystemOptions(selection_threshold_factor=0.35,
-                             kf_flow_threshold=0.35, init_max_width=0.4,
+                             kf_global_weight=6.0, init_max_width=0.4,
                              dense_tracking=False)  # random-weight MVS depth
     fs = FullSystem(fx, fx, cx, cy, H, W, options=opts, backend=backend,
                     timer=timer)

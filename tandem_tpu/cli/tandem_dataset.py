@@ -61,7 +61,8 @@ def main(argv=None):
     from ..mapping.mesh import save_obj
     from ..mapping.tsdf import TsdfConfig
     from ..pipeline.backend import TandemBackend
-    from ..pipeline.full_system import FullSystem, FullSystemOptions
+    from ..pipeline.full_system import (FullSystem, FullSystemOptions,
+                                        make_full_system_options)
     from ..pipeline.mvsnet_runner import MvsnetRunner
     from ..models.cva_mvsnet import CvaMVSNet
     from ..utils.timer import Timer
@@ -111,13 +112,7 @@ def main(argv=None):
             backend.output_wrappers.append(PanelOutputWrapper(
                 os.path.join(s.result_folder, "dr_video")))
 
-    opts = FullSystemOptions(
-        max_keyframes=s.max_frames,
-        mvs_view_num=s.dr_mvsnet_view_num,
-        mvs_discard_percentage=s.mvsnet_discard_percentage,
-        tracking_step=s.tracking_step,
-        rgbd=s.rgbd,
-        dense_tracking=(s.tracking_type == "dense"))
+    opts = make_full_system_options(s)
     fs = FullSystem(fx, fy, cx, cy, H, W, options=opts, backend=backend,
                     timer=timer)
 

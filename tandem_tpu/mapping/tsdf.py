@@ -43,7 +43,12 @@ class TsdfConfig:
     voxel_size: float = 0.01
     block_size: int = 8
     table_dim: int = 160           # blocks per axis; arena = dim*block*voxel m
-    pool_size: int = 1 << 16       # max allocated blocks
+    pool_size: int = 1 << 16       # current pool capacity in blocks
+    # Growth ceiling for grow_volume (the reference commits 10^6 blocks up
+    # front and KERNEL_ABORTs on heap exhaustion, heap.cu:16-18 /
+    # FullSystem.cpp:259-276; here the pool starts small and doubles on
+    # demand — each block costs ~10 KB of HBM, so 2^18 = 2.7 GB max).
+    pool_max: int = 1 << 18
     truncation: float = 0.04
     max_weight: float = 64.0
     min_depth: float = 0.1
@@ -56,12 +61,54 @@ class TsdfConfig:
 
 
 class TsdfVolume(struct.PyTreeNode):
+    """Block-paged TSDF volume state.
+
+    LINEAR TYPE — consume on update. ``allocate_blocks``, ``integrate`` and
+    ``integrate_culled`` DONATE the input volume's buffers to the update (the
+    pool arrays are hundreds of MB; donation is what makes chunked in-place
+    updates O(chunk) instead of O(pool) copies). After
+    ``vol2 = integrate(cfg, vol, ...)`` the old ``vol`` is DELETED — never
+    reuse it. To branch (e.g. compare two update paths from one state), take
+    an explicit ``copy_volume(vol)`` first. Read-only consumers
+    (``visible_slots``, ``render_depth_splat``, ``raycast``,
+    ``extract_mesh``) do not consume.
+    """
     page_table: jnp.ndarray    # (T^3,) int32, -1 = unallocated
     block_coords: jnp.ndarray  # (pool, 3) int32 signed block coordinates
     tsdf: jnp.ndarray          # (pool, 512) float32
     weight: jnp.ndarray        # (pool, 512) float32
     color: jnp.ndarray         # (pool, 512, 3) float32 [0, 255]
     n_allocated: jnp.ndarray   # () int32
+    n_dropped: jnp.ndarray     # () int32, cumulative pool-full alloc drops
+
+
+def copy_volume(vol: TsdfVolume) -> TsdfVolume:
+    """Deep-copy a volume so one state can feed two donating updates."""
+    return jax.tree.map(jnp.copy, vol)
+
+
+def grow_volume(cfg: TsdfConfig, vol: TsdfVolume,
+                factor: int = 2) -> Tuple[TsdfConfig, TsdfVolume]:
+    """Double the block pool (host-driven, between keyframes). Pool slots are
+    stable indices, so growth is pure zero-padding of the pool arrays — the
+    page table is untouched. allocate_blocks is idempotent, so the caller
+    re-runs it on the same scan after growing to pick up the blocks that
+    were dropped (see TandemBackend). Doubling recompiles the chunked
+    integrate/splat programs once per new size; pool_max caps the spiral."""
+    new_pool = min(cfg.pool_size * factor, cfg.pool_max)
+    if new_pool == cfg.pool_size:
+        return cfg, vol
+    pad = new_pool - cfg.pool_size
+    return (dataclasses.replace(cfg, pool_size=new_pool),
+            vol.replace(
+                block_coords=jnp.concatenate(
+                    [vol.block_coords, jnp.zeros((pad, 3), jnp.int32)]),
+                tsdf=jnp.concatenate(
+                    [vol.tsdf, jnp.zeros((pad,) + vol.tsdf.shape[1:])]),
+                weight=jnp.concatenate(
+                    [vol.weight, jnp.zeros((pad,) + vol.weight.shape[1:])]),
+                color=jnp.concatenate(
+                    [vol.color, jnp.zeros((pad,) + vol.color.shape[1:])])))
 
 
 def create_volume(cfg: TsdfConfig) -> TsdfVolume:
@@ -73,6 +120,7 @@ def create_volume(cfg: TsdfConfig) -> TsdfVolume:
         weight=jnp.zeros((p, b3), jnp.float32),
         color=jnp.zeros((p, b3, 3), jnp.float32),
         n_allocated=jnp.zeros((), jnp.int32),
+        n_dropped=jnp.zeros((), jnp.int32),
     )
 
 
@@ -150,8 +198,10 @@ def allocate_blocks(cfg: TsdfConfig, vol: TsdfVolume, depth, K, cam_to_world):
     block_coords = vol.block_coords.at[sample_slot].set(blocks, mode="drop")
 
     n_new = jnp.sum(can_alloc.astype(jnp.int32))
+    n_want = jnp.sum(new.astype(jnp.int32))
     return vol.replace(page_table=page_table, block_coords=block_coords,
-                       n_allocated=vol.n_allocated + n_new)
+                       n_allocated=vol.n_allocated + n_new,
+                       n_dropped=vol.n_dropped + (n_want - n_new))
 
 
 @partial(jax.jit, static_argnums=(0, 7), donate_argnums=(1,))
@@ -276,9 +326,25 @@ def visible_slots(cfg: TsdfConfig, vol: TsdfVolume, K, cam_to_world,
         pool slots compacted to the front and cfg.pool_size (= drop
         sentinel) padding; n_visible () int32.
 
-    Exactness: a culled integrate updates the same voxels as the full walk —
-    blocks outside the frustum project outside the image and already fail
-    the in_img test — so integrate(slots=...) == integrate() always.
+    Exactness: a culled integrate updates the same voxels as the full walk,
+    PROVABLY, so integrate(slots=...) == integrate() always. Every voxel the
+    integrate kernel can update has camera z_vox > 0, rounds into the image
+    (u_f in [-0.5, W-0.5)), and lies within surface_dist + truncation <=
+    max_depth*ray_norm + truncation of the camera. Blocks are kept if the
+    bounding ball (radius r) around the center can contain such a voxel:
+
+    - far plane: z - r < max_depth + truncation (voxel z_vox < d_px +
+      truncation/ray_norm <= max_depth + truncation, and z <= z_vox + r);
+    - image test with the exact first-order margin per axis
+      m_u = (fx + |u-cx|) * r / (z - r): from u = fx*x/z + cx,
+      |Δu| = fx|δx·z − x·δz| / (z(z+δz)) <= fx·r(z+|x|)/(z(z−r))
+           = (fx + |u−cx|)·r/(z−r) for any |δ| <= r — this bound carries the
+      obliquity term the naive fx·r/(z−r) margin misses;
+    - near-camera rescue for blocks whose ball reaches the camera plane
+      (z - r <= 0): any updatable voxel there has z_vox <= z + r and
+      in-image, so its distance is <= (z+r)·ray_norm_max; keep if
+      |center| <= (z+r)·ray_norm_max + r. Covers the camera-inside-geometry
+      case for any FOV (tested adversarially in test_tsdf.py).
     """
     P = cfg.pool_size
     centers = (vol.block_coords.astype(jnp.float32) + 0.5) * cfg.block_extent
@@ -291,13 +357,22 @@ def visible_slots(cfg: TsdfConfig, vol: TsdfVolume, K, cam_to_world,
     z_safe = jnp.maximum(z, 1e-3)
     u = fx * cam[:, 0] / z_safe + cx
     v = fy * cam[:, 1] / z_safe + cy
-    m = jnp.maximum(fx, fy) * r / jnp.maximum(z - r, 1e-3)
-    in_depth = (z + r > cfg.min_depth) & (z - r < cfg.max_depth)
-    in_img = ((u + m >= 0) & (u - m <= width - 1)
-              & (v + m >= 0) & (v - m <= height - 1))
-    near = jnp.sum(cam * cam, -1) <= (2.0 * r) ** 2       # camera inside
+    zr = jnp.maximum(z - r, 1e-3)
+    m_u = (fx + jnp.abs(u - cx)) * r / zr
+    m_v = (fy + jnp.abs(v - cy)) * r / zr
+    in_depth = z - r < cfg.max_depth + cfg.truncation
+    # integrate rounds: u_f in [-0.5, W-0.5) lands on a pixel.
+    in_img = ((u + m_u >= -0.5) & (u - m_u <= width - 0.5)
+              & (v + m_v >= -0.5) & (v - m_v <= height - 0.5))
+    # ray_norm_max over the image: max |([-0.5,W-0.5]-cx)/fx| etc.
+    tu = (jnp.maximum(cx, width - 1 - cx) + 0.5) / fx
+    tv = (jnp.maximum(cy, height - 1 - cy) + 0.5) / fy
+    norm_max = jnp.sqrt(1.0 + tu * tu + tv * tv)
+    near = ((z - r <= 0) & (z + r > 0)
+            & (jnp.sqrt(jnp.sum(cam * cam, -1))
+               <= (z + r) * norm_max + r))
     alloc = jnp.arange(P) < vol.n_allocated
-    vis = alloc & (near | ((z > 0) & in_depth & in_img))
+    vis = alloc & (near | ((z - r > 0) & in_depth & in_img))
 
     rank = jnp.cumsum(vis.astype(jnp.int32)) - 1
     slots = jnp.full((P,), P, jnp.int32).at[

@@ -24,8 +24,8 @@ import jax.numpy as jnp
 import numpy as np
 
 from ..mapping.tsdf import (TsdfConfig, allocate_blocks, create_volume,
-                            integrate, integrate_culled, raycast,
-                            render_depth_splat, visible_slots)
+                            grow_volume, integrate, integrate_culled,
+                            raycast, render_depth_splat, visible_slots)
 from ..mapping.mesh import extract_mesh
 from ..utils.timer import Timer
 
@@ -71,9 +71,21 @@ class TandemBackend:
         self.call_num = 0
         self._prev: Optional[dict] = None  # previous call's context
         self.last_mesh = None
+        self._n_alloc = 0
+        self._n_drop_seen = 0     # pool-full allocation drops already handled
+        self._pool_warned = False
 
     def ready(self) -> bool:
-        return self.runner.ready() or self._prev is not None
+        """Reference Ready() parity (tandem_backend.cpp:285-287): the backend
+        can accept a new call without blocking. True when there is no
+        outstanding call, or the outstanding MVSNet dispatch has finished on
+        the device (call() would then complete its get_result immediately).
+        FullSystem DROPS the keyframe in real-time mode when this is False
+        (FullSystem.cpp:1144-1151) and waits in linearize mode."""
+        if self._prev is None:
+            return True
+        probe = getattr(self.runner, "device_ready", self.runner.ready)
+        return probe()
 
     def call(self, bgrs, cam_to_worlds, depth_min: float, depth_max: float,
              next_ref_c2w: np.ndarray, discard_percentage: float = 10.0):
@@ -93,11 +105,39 @@ class TandemBackend:
             pose = jnp.asarray(ref_c2w)
             self.volume = allocate_blocks(self.cfg, self.volume, depth, Kj,
                                           pose)
-            # One bundled sync per keyframe: the host-side chunk counts for
-            # the integrate/render loops (avoids per-call blocking syncs).
+            # One bundled sync per keyframe: fetch both host-side chunk
+            # counts for the integrate/render loops in a single device_get
+            # (two sequential int() fetches would block on two dispatch
+            # chains).
             slots, n_vis = visible_slots(self.cfg, self.volume, Kj, pose,
                                          self.H, self.W)
-            self._n_alloc = int(self.volume.n_allocated)
+            n_alloc, n_vis, n_drop = jax.device_get(
+                (self.volume.n_allocated, n_vis, self.volume.n_dropped))
+            # Pool-exhaustion handling: the reference commits 10^6 blocks and
+            # KERNEL_ABORTs when the heap runs dry (heap.cu:16-18); here the
+            # pool DOUBLES on demand (slots are stable, growth is padding)
+            # and allocate_blocks is idempotent, so re-running it on the same
+            # scan picks up exactly the dropped blocks. At pool_max we warn
+            # once and keep fusing what fits (allocation saturates).
+            while int(n_drop) > self._n_drop_seen:
+                self._n_drop_seen = int(n_drop)
+                if self.cfg.pool_size >= self.cfg.pool_max:
+                    if not self._pool_warned:
+                        print(f"TSDF pool exhausted at pool_max="
+                              f"{self.cfg.pool_max} blocks; new surface "
+                              f"will not be fused (reference aborts here, "
+                              f"heap.cu:16-18).")
+                        self._pool_warned = True
+                    break
+                self.cfg, self.volume = grow_volume(self.cfg, self.volume)
+                self.volume = allocate_blocks(self.cfg, self.volume, depth,
+                                              Kj, pose)
+                slots, n_vis = visible_slots(self.cfg, self.volume, Kj,
+                                             pose, self.H, self.W)
+                n_alloc, n_vis, n_drop = jax.device_get(
+                    (self.volume.n_allocated, n_vis,
+                     self.volume.n_dropped))
+            self._n_alloc = int(n_alloc)
             n_vis = int(n_vis)
             # Integrate, then render from the next tracking reference pose
             # as two chunked passes. NOTE: fusing both into one chunk
@@ -137,6 +177,14 @@ class TandemBackend:
                       "ref_bgr": np.asarray(bgrs[ref_index])}
         self.call_num += 1
         self.timer.end_timing("backend_call", tid)
+
+    def stats(self) -> dict:
+        """Volume occupancy counters (host-cached — no device sync)."""
+        return {"n_allocated": self._n_alloc,
+                "pool_size": self.cfg.pool_size,
+                "pool_max": self.cfg.pool_max,
+                "n_dropped": self._n_drop_seen,
+                "call_num": self.call_num}
 
     def get_tracking_depth_map(self) -> Optional[dict]:
         return self.depth_map.read()

@@ -50,9 +50,18 @@ def _np_rigid_inverse(T: np.ndarray) -> np.ndarray:
 @dataclasses.dataclass
 class FullSystemOptions:
     max_keyframes: int = 7            # setting_maxFrames
+    min_frames: int = 5               # setting_minFrames
+    min_frame_age: int = 1            # setting_minFrameAge
     num_point_slots: int = 2048
-    kf_flow_threshold: float = 1.0    # setting_kfGlobalWeight heuristic
-    kf_brightness_threshold: float = 12.0
+    # Keyframe decision weights (FullSystem.cpp:1038-1058; defaults from
+    # settings.cpp:37-41). The shift weights keep the reference's hardcoded
+    # 640+480 scale; the decision divides by the ACTUAL w+h like wG[0]+hG[0].
+    kf_global_weight: float = 1.0         # setting_kfGlobalWeight
+    max_shift_weight_t: float = 0.04 * (640 + 480)
+    max_shift_weight_r: float = 0.0 * (640 + 480)
+    max_shift_weight_rt: float = 0.02 * (640 + 480)
+    max_affine_weight: float = 2.0        # setting_maxAffineWeight
+    keyframes_per_second: float = 0.0     # setting_keyframesPerSecond
     ba_iters: int = 6                 # setting_maxOptIterations
     immature_cap: int = 512
     selection_threshold_factor: float = 1.0
@@ -63,6 +72,37 @@ class FullSystemOptions:
     tracking_step: int = 3            # setting_tracking_step dense stride
     rgbd: bool = False                # RGB-D mode (rgbd_flag)
     dense_tracking: bool = True       # tracking=dense vs sparse
+    # linearizeOperation (playbackSpeed == 0): a busy backend is WAITED for;
+    # real-time mode DROPS the keyframe instead (FullSystem.cpp:1144-1151).
+    linearize: bool = True
+
+
+def make_full_system_options(s) -> "FullSystemOptions":
+    """Map runtime Settings onto FullSystemOptions. Every DSO knob that
+    affects window content or the keyframe policy flows through here
+    (commandline.cpp parity — nothing the presets set is hardcoded
+    downstream). Density knobs become the fixed array capacities the jitted
+    programs compile against, rounded up to a multiple of 256 so shapes stay
+    TPU-tile friendly (1500 -> 1536 immature candidates, 2000 -> 2048 point
+    slots — the reference treats these as soft targets too)."""
+    def cap(x):
+        return -(-int(x) // 256) * 256
+
+    return FullSystemOptions(
+        max_keyframes=s.max_frames,
+        min_frames=s.min_frames,
+        min_frame_age=s.min_frame_age,
+        num_point_slots=cap(s.desired_point_density),
+        kf_global_weight=s.kf_global_weight,
+        keyframes_per_second=s.keyframes_per_second,
+        ba_iters=s.max_opt_iterations,
+        immature_cap=cap(s.desired_immature_density),
+        mvs_view_num=s.dr_mvsnet_view_num,
+        mvs_discard_percentage=s.mvsnet_discard_percentage,
+        tracking_step=s.tracking_step,
+        rgbd=s.rgbd,
+        dense_tracking=(s.tracking_type == "dense"),
+        linearize=(s.playback_speed == 0))
 
 
 class Keyframe:
@@ -115,6 +155,8 @@ class FullSystem:
         self.init_frames = 0
         self.init_state = None            # CoarseInitializer state
         self._last_energy: Optional[float] = None
+        self._first_coarse_rmse: Optional[float] = None  # firstCoarseRMSE
+        self.n_dropped_kf = 0   # real-time mode backend drops
         self.windows: List[List[int]] = []
 
     # ------------------------------------------------------------------
@@ -183,8 +225,13 @@ class FullSystem:
         # frame (traceNewCoarse before the KF decision, FullSystem.cpp:1295).
         self._trace_on_frame(img, c2w)
 
+        # firstCoarseRMSE: energy of the first frame tracked against the
+        # current reference (trackNewCoarse, FullSystem.cpp:600-607).
+        if self._first_coarse_rmse is None:
+            self._first_coarse_rmse = energy
+
         flow = np.asarray(out["flow"])
-        need_kf = self._keyframe_decision(flow, out)
+        need_kf = self._keyframe_decision(flow, out, energy, timestamp)
         if need_kf:
             self._make_keyframe(img, frame_id, timestamp, c2w, bgr)
 
@@ -324,15 +371,34 @@ class FullSystem:
         for ow in self.outputs:
             ow.publish_cam_pose(frame_id, self.last_c2w)
 
-    def _keyframe_decision(self, flow, out) -> bool:
-        """Flow+brightness heuristic (FullSystem.cpp:1038-1058)."""
-        f_full, f_t, f_rt = flow
-        a, b = np.asarray(out["aff"])
-        brightness = abs(np.log(max(a, 1e-6))) * 50 + abs(b)
-        score = (f_full / 8.0 + f_t / 8.0
-                 + brightness / self.opt.kf_brightness_threshold)
-        return bool(score > self.opt.kf_flow_threshold
-                    or float(out["valid_frac"]) < 0.6)
+    def _keyframe_decision(self, flow, out, energy: float,
+                            timestamp: float) -> bool:
+        """The reference's exact keyframe rule (FullSystem.cpp:1038-1058).
+
+        With keyframes_per_second > 0: time-based
+        (ts - last_kf_ts > 0.95 / kps). Otherwise:
+            kfGW*wT*sqrt(tres1)/(w+h) + kfGW*wR*sqrt(tres2)/(w+h)
+            + kfGW*wRT*sqrt(tres3)/(w+h) + kfGW*wA*|log(a)| > 1
+            or 2*firstCoarseRMSE < tres0
+        where tres1..3 are the tracker's flow indicators (mean squared
+        shiftT/0/shiftRT, calcRes rs[2..4]), a is the ref->frame affine gain
+        and firstCoarseRMSE is the energy of the FIRST frame tracked against
+        the current reference."""
+        o = self.opt
+        if o.keyframes_per_second > 0:
+            last_kf_ts = self.keyframes[-1].timestamp
+            return bool(timestamp - last_kf_ts > 0.95 / o.keyframes_per_second)
+        tres1, tres2, tres3 = (float(x) for x in flow)
+        a = float(np.asarray(out["aff"])[0])
+        wh = self.W + self.H
+        score = o.kf_global_weight * (
+            o.max_shift_weight_t * np.sqrt(max(tres1, 0.0)) / wh
+            + o.max_shift_weight_r * np.sqrt(max(tres2, 0.0)) / wh
+            + o.max_shift_weight_rt * np.sqrt(max(tres3, 0.0)) / wh
+            + o.max_affine_weight * abs(np.log(max(a, 1e-12))))
+        first = self._first_coarse_rmse
+        return bool(score > 1.0
+                    or (first is not None and 2.0 * first < energy))
 
     # ------------------------------------------------------------------
     def _mask_to_uv(self, mask: np.ndarray, cap: int) -> np.ndarray:
@@ -393,8 +459,8 @@ class FullSystem:
         if len(active) < 2:
             return []
         latest = active[-1]
-        min_frames = 5                       # setting_minFrames
-        min_frame_age = 1                    # setting_minFrameAge
+        min_frames = self.opt.min_frames          # setting_minFrames
+        min_frame_age = self.opt.min_frame_age    # setting_minFrameAge
 
         # One bundled device->host fetch for the window statistics
         # (BA point occupancy, affine, and each KF's immature statuses).
@@ -569,7 +635,13 @@ class FullSystem:
             return
         window = active[-self.opt.mvs_view_num:]
         if not self.backend.ready():
-            return  # drop (real-time mode semantics)
+            # FullSystem.cpp:1144-1151: linearize mode waits for the backend;
+            # real-time mode drops the keyframe.
+            if self.opt.linearize:
+                self.backend.wait()
+            else:
+                self.n_dropped_kf += 1
+                return
         # Depth range: [0.01, 3 x quantile_0.2(depth)] from tracker idepths
         # (FullSystem.cpp:1192-1193)
         idep = np.asarray(self.ba_state.pt_idepth)
@@ -589,6 +661,9 @@ class FullSystem:
     def _set_tracking_ref(self, kf: Keyframe, mvs: Optional[dict]):
         """setCoarseTrackingRef with TSDF-rendered dense injection
         (FullSystem.cpp:1373-1387, CoarseTracker.cpp:633-733)."""
+        # New reference => firstCoarseRMSE re-arms on the next tracked frame
+        # (CoarseTracker::setCTRefForFirstFrame / setCoarseTrackingRef reset).
+        self._first_coarse_rmse = None
         # Project BA points into the new reference KF on device (no host
         # round trips; makeCoarseDepthL0 analogue)
         idepth0, weight0 = _project_ba_points(

@@ -270,6 +270,19 @@ class MvsnetRunner:
     def ready(self) -> bool:
         return self._ready
 
+    def device_ready(self) -> bool:
+        """True when the pending dispatch (if any) has FINISHED on the
+        device, i.e. get_result() would return without blocking. This is the
+        occupancy signal behind the reference's Ready() (dr_mvsnet worker
+        idle, dr_mvsnet.cpp:100-107) that drives real-time keyframe drops."""
+        if self._pending is None:
+            return True
+        try:
+            return all(x.is_ready()
+                       for x in jax.tree_util.tree_leaves(self._pending))
+        except AttributeError:   # non-jax leaves (already-fetched numpy)
+            return True
+
     def call_async(self, bgrs, cam_to_worlds, K, depth_min: float,
                    depth_max: float, discard_percentage: float = 10.0,
                    ref_index: Optional[int] = None):

@@ -20,9 +20,15 @@ class Settings:
     desired_point_density: float = 2000.0
     min_frames: int = 5            # setting_minFrames
     max_frames: int = 7            # setting_maxFrames
+    min_frame_age: int = 1         # setting_minFrameAge
     max_opt_iterations: int = 6
     min_opt_iterations: int = 1
     kf_global_weight: float = 1.0  # setting_kfGlobalWeight
+    keyframes_per_second: float = 0.0  # setting_keyframesPerSecond
+    # playbackSpeed (commandline.cpp speed= / preset): 0 => linearize mode
+    # (backend waits, deterministic); >0 => real-time mode (backend drops
+    # busy keyframes). main_tandem_pangolin.cpp:124.
+    playback_speed: float = 0.0
     huber_th: float = 9.0
     coarse_cutoff_th: float = 20.0
     # photometric calibration mode: 0 = have calib, 1 = none (affine), 2 =
@@ -75,24 +81,34 @@ class Settings:
 
 
 def preset(name: str) -> Settings:
-    """Preset bundles (commandline.cpp:17-131)."""
+    """Preset bundles, matched to commandline.cpp:17-131 exactly (all four
+    share minFrames=5/maxFrames=7/6 opt iters; only demo is real-time)."""
     s = Settings(preset=name)
     if name == "dataset":
-        # deterministic evaluation: sparse+dense CPU-style tracking, no drops
+        # deterministic evaluation: no preload, linearized, no mesh
         s.preload = False
+        s.playback_speed = 0.0
         s.tracking_type = "dense"
-        s.mesh_extraction_freq = 10
+        s.mesh_extraction_freq = 0
     elif name == "runtime":
-        # real-time: preload images, dense tracking on accelerator, allow
-        # frame drops (commandline.cpp:76-101)
+        # throughput run: preload images, dense tracking on the accelerator,
+        # still linearized (commandline.cpp:79 playbackSpeed=0), no mesh
         s.preload = True
+        s.playback_speed = 0.0
         s.tracking_type = "dense"
         s.tracking_device = "tpu"
+        s.mesh_extraction_freq = 0
     elif name == "gui":
         s.preload = False
+        s.playback_speed = 0.0
+        s.mesh_extraction_freq = 5
     elif name == "demo":
+        # live camera: real-time enforcing => backend drops busy keyframes
         s.preload = False
+        s.playback_speed = 1.0
         s.tracking_type = "dense"
+        s.tracking_step = 2
+        s.mesh_extraction_freq = 5
         s.mode = 1
     else:
         raise ValueError(f"Unknown preset {name}")

@@ -83,7 +83,16 @@ def create_ba_state(num_frames: int, num_points: int,
     """:param calib_prior: anchor Hessian on each calib parameter at the boot
     calibration, seeded into the marginalization prior exactly like DSO's
     setting_initialCalibHessian=5e9 on SCALE_F/SCALE_C=50-scaled variables
-    (settings.cpp:52, i.e. 5e9/50^2 = 2e6 on raw pixels)."""
+    (settings.cpp:52, i.e. 5e9/50^2 = 2e6 on raw pixels).
+
+    KEEP THIS AT DSO STRENGTH unless the corrected K is also propagated: the
+    estimated calib correction is consumed only inside BA (_system_terms);
+    immature tracing, the coarse tracker, TSDF integration and MVSNet all
+    keep the boot K (in DSO the shared CalibHessian value reaches every
+    consumer). At the default prior the correction stays pinned near 0 so
+    the split is consistent; weakening the prior without feeding
+    state.calib back to the other consumers would make BA poses/idepths
+    inconsistent with the rest of the pipeline."""
     F, N = num_frames, num_points
     return BAState(
         poses=jnp.broadcast_to(jnp.eye(4), (F, 4, 4)),

@@ -490,35 +490,64 @@ def _track_frame_batched(ref: CoarseTrackerRef, new_image, T_inits,
             results["energy"] = e / jnp.maximum(n, 1.0)
             results["num_terms"] = n
 
-    # Flow indicators at level 0: RMS pixel displacement under full motion and
-    # translation-only motion (CoarseTracker calcRes sumSquaredShift*).
+    # Flow indicators at level 0 (reference calcRes,
+    # CoarseTracker.cpp:503-563,620-626).
     lvl = 0
     pts0 = (ref.pu[lvl], ref.pv[lvl], ref.pid[lvl], ref.pcolor[lvl],
             ref.pvalid[lvl])
     r, J, good, px, py = _level_residuals(
         T, aff, pts0, packed0, H0, W0, ref.K[lvl])
-    disp2 = (px - ref.pu[lvl][None]) ** 2 + (py - ref.pv[lvl][None]) ** 2
-    T_t = jnp.broadcast_to(jnp.eye(4), T.shape)
-    T_t = T_t.at[:, :3, 3].set(T[:, :3, 3])
-    _, _, good_t, px_t, py_t = _level_residuals(
-        T_t, aff, pts0, packed0, H0, W0, ref.K[lvl])
-    disp2_t = (px_t - ref.pu[lvl][None]) ** 2 + (py_t - ref.pv[lvl][None]) ** 2
-
-    def rms(d2, m):
-        # clamp: the full/translation-only displacement DIFFERENCE can be
-        # negative per-point; its mean must not produce sqrt(<0) = NaN
-        mean = (jnp.sum(jnp.where(m, d2, 0.0), axis=-1)
-                / jnp.maximum(jnp.sum(m.astype(jnp.float32), axis=-1), 1.0))
-        return jnp.sqrt(jnp.maximum(mean, 0.0))
 
     results.update({
         "T": T, "aff": aff,
         "valid_frac": (jnp.sum(good.astype(jnp.float32), axis=-1)
                        / jnp.maximum(jnp.sum(ref.pvalid[0]), 1.0)),
-        "flow": jnp.stack([rms(disp2, good), rms(disp2_t, good_t),
-                           rms(disp2 - disp2_t, good & good_t)], axis=-1),
+        "flow": _flow_indicators(T, pts0, ref.K[lvl]),
     })
     return results
+
+
+def _flow_indicators(T, pts0, Klvl):
+    """The reference's keyframe-flow statistics (calcRes,
+    CoarseTracker.cpp:503-563, rs assignment :620-626): per tracked point,
+    the squared pixel displacement under translation-only motion (+t and -t)
+    and under the full tracked motion (R, +/-t), averaged with the +0.1
+    denominator guard. Returns (B, 3) = tres[1..3]: [mean shiftT^2, 0 (the
+    reference never fills rs[3] - rotation weight is 0 anyway),
+    mean shiftRT^2].
+
+    Deviations from the reference loop, both documented: every valid point
+    contributes (the reference subsamples i%32 - a CPU cost trick, not
+    semantics), and points whose +/- projection falls behind the camera are
+    masked out (the reference accumulates their unchecked garbage
+    projections into the statistic)."""
+    pu, pv, idv, _, msk = pts0
+    fx, fy, cx, cy = Klvl
+    un = (pu - cx) / fx
+    vn = (pv - cy) / fy
+    ray = jnp.stack([un, vn, jnp.ones_like(un)], -1)        # (N, 3)
+    R = T[:, :3, :3]
+    t = T[:, :3, 3]
+    ray_rot = jnp.einsum("bij,nj->bni", R, ray)             # (B, N, 3)
+
+    def mean_disp2(base, sign):
+        q = base + sign * t[:, None, :] * idv[None, :, None]
+        qz = q[..., 2]
+        ok = msk[None] & (qz > 1e-6)
+        qzs = jnp.where(qz > 1e-6, qz, 1.0)
+        du = fx * q[..., 0] / qzs + cx - pu[None]
+        dv = fy * q[..., 1] / qzs + cy - pv[None]
+        d2 = jnp.where(ok, du * du + dv * dv, 0.0)
+        return jnp.sum(d2, -1), jnp.sum(ok.astype(jnp.float32), -1)
+
+    ray_b = jnp.broadcast_to(ray[None], ray_rot.shape)
+    s_tp, n_tp = mean_disp2(ray_b, 1.0)
+    s_tn, n_tn = mean_disp2(ray_b, -1.0)
+    s_fp, n_fp = mean_disp2(ray_rot, 1.0)
+    s_fn, n_fn = mean_disp2(ray_rot, -1.0)
+    shift_t = (s_tp + s_tn) / (n_tp + n_tn + 0.1)
+    shift_rt = (s_fp + s_fn) / (n_fp + n_fn + 0.1)
+    return jnp.stack([shift_t, jnp.zeros_like(shift_t), shift_rt], -1)
 
 
 @partial(jax.jit, static_argnums=(4,))

@@ -41,7 +41,7 @@ def test_vo_tracks_sequence(tmp_path):
     # starts around frame 8.
     poses_gt, images = make_sequence(n=18)
     opts = FullSystemOptions(selection_threshold_factor=0.35,
-                             kf_flow_threshold=0.35, ba_iters=4,
+                             kf_global_weight=6.0, ba_iters=4,
                              init_max_width=0.4)
     fs = FullSystem(FX, FY, CX, CY, H, W, options=opts)
     for i, img in enumerate(images):
@@ -64,3 +64,62 @@ def test_vo_tracks_sequence(tmp_path):
     lines = open(tmp_path / "result.txt").readlines()
     assert len(lines) == len(images)
     assert len(lines[0].split()) == 8
+
+
+def test_keyframe_decision_reference_formula():
+    """Pin the decision to hand-computed reference scores
+    (FullSystem.cpp:1038-1058 with settings.cpp:37-41 weights).
+
+    score = kfGW * [ 0.04*1120*sqrt(t1)/(w+h) + 0 + 0.02*1120*sqrt(t3)/(w+h)
+                     + 2*|log a| ];  KF iff score > 1 or 2*firstRMSE < energy.
+    """
+    from tandem_tpu.pipeline.full_system import (FullSystem,
+                                                 FullSystemOptions)
+    fs = FullSystem(FX, FY, CX, CY, H, W, options=FullSystemOptions())
+    wh = W + H
+    fs._first_coarse_rmse = 10.0
+    out = {"aff": np.array([1.0, 0.0])}
+
+    def score(t1, t3, a=1.0):
+        return (0.04 * 1120 * np.sqrt(t1) / wh
+                + 0.02 * 1120 * np.sqrt(t3) / wh + 2 * abs(np.log(a)))
+
+    # pure translation flow, just below / above the threshold
+    t1_hi = ((1.02 * wh) / (0.04 * 1120)) ** 2
+    t1_lo = ((0.98 * wh) / (0.04 * 1120)) ** 2
+    assert score(t1_hi, 0.0) > 1.0 and score(t1_lo, 0.0) < 1.0
+    assert fs._keyframe_decision([t1_hi, 0.0, 0.0], out, 5.0, 0.0)
+    assert not fs._keyframe_decision([t1_lo, 0.0, 0.0], out, 5.0, 0.0)
+
+    # mixed T+RT flow: each below alone, together above
+    t1 = ((0.6 * wh) / (0.04 * 1120)) ** 2
+    t3 = ((0.6 * wh) / (0.02 * 1120)) ** 2
+    assert not fs._keyframe_decision([t1, 0.0, 0.0], out, 5.0, 0.0)
+    assert not fs._keyframe_decision([0.0, 0.0, t3], out, 5.0, 0.0)
+    assert fs._keyframe_decision([t1, 0.0, t3], out, 5.0, 0.0)
+
+    # rotation-only indicator carries ZERO weight (settings.cpp:38)
+    assert not fs._keyframe_decision([0.0, 1e6, 0.0], out, 5.0, 0.0)
+
+    # affine gain: |log a| = 0.6 -> 2*0.6 = 1.2 > 1 alone
+    assert fs._keyframe_decision([0.0, 0.0, 0.0],
+                                 {"aff": np.array([np.exp(0.6), 0.0])},
+                                 5.0, 0.0)
+
+    # energy blow-up rule: 2*firstCoarseRMSE < energy
+    assert fs._keyframe_decision([0.0, 0.0, 0.0], out, 20.1, 0.0)
+    assert not fs._keyframe_decision([0.0, 0.0, 0.0], out, 19.9, 0.0)
+
+    # kf_global_weight scales the whole sum (2 = twice the KFs)
+    fs2 = FullSystem(FX, FY, CX, CY, H, W,
+                     options=FullSystemOptions(kf_global_weight=2.0))
+    fs2._first_coarse_rmse = 10.0
+    assert fs2._keyframe_decision([t1_lo * 0.3, 0.0, 0.0], out, 5.0, 0.0)
+
+    # keyframes_per_second > 0: pure time-based rule
+    fs3 = FullSystem(FX, FY, CX, CY, H, W, options=FullSystemOptions(
+        keyframes_per_second=2.0))
+    kf = type("KF", (), {"timestamp": 1.0})
+    fs3.keyframes.append(kf)
+    assert not fs3._keyframe_decision([1e9, 0.0, 1e9], out, 1e9, 1.4)
+    assert fs3._keyframe_decision([0.0, 0.0, 0.0], out, 0.0, 1.5)

@@ -92,7 +92,7 @@ def test_full_system_monocular_init():
                                                  FullSystemOptions)
 
     opts = FullSystemOptions(selection_threshold_factor=0.35,
-                             kf_flow_threshold=0.35)
+                             kf_global_weight=6.0)
     fs = FullSystem(FX, FY, CX, CY, H, W, options=opts)
     poses = []
     for i in range(14):

@@ -11,7 +11,7 @@ from tests.test_full_system import make_sequence
 def test_rgbd_vo_metric_scale(tmp_path):
     poses_gt, images = make_sequence(n=10, step=0.02)
     opts = FullSystemOptions(selection_threshold_factor=0.35,
-                             kf_flow_threshold=0.35, rgbd=True)
+                             kf_global_weight=6.0, rgbd=True)
     fs = FullSystem(FX, FY, CX, CY, H, W, options=opts)
     for i, (img, pose) in enumerate(zip(images, poses_gt)):
         _, depth = render_plane(pose)

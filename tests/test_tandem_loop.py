@@ -20,15 +20,21 @@ from tests.test_full_system import make_sequence, _align_sim3_translations
 
 class OracleRunner:
     """MvsnetRunner-compatible stub returning analytic GT depth for the
-    reference view pose."""
+    reference view pose. ``busy=True`` simulates a device that never finishes
+    by probe time (device_ready False while a call is pending) to exercise
+    the real-time drop path."""
     view_num = 4
 
-    def __init__(self):
+    def __init__(self, busy: bool = False):
         self._pending = None
         self._ready = True
+        self.busy = busy
 
     def ready(self):
         return self._ready
+
+    def device_ready(self):
+        return self._pending is None or not self.busy
 
     def call_async(self, bgrs, cam_to_worlds, K, depth_min, depth_max,
                    discard_percentage=10.0, ref_index=None):
@@ -64,7 +70,7 @@ def test_tandem_loop(tmp_path):
     backend = TandemBackend(OracleRunner(), cfg, K_mat, H, W,
                             mesh_extraction_freq=3)
     opts = FullSystemOptions(selection_threshold_factor=0.35,
-                             kf_flow_threshold=0.3, init_max_width=0.4,
+                             kf_global_weight=7.0, init_max_width=0.4,
                              mvs_view_num=4)
     fs = FullSystem(FX, FY, CX, CY, H, W, options=opts, backend=backend)
 
@@ -93,3 +99,39 @@ def test_tandem_loop(tmp_path):
     err = _align_sim3_translations([p[:3, 3] for p in fs.all_poses],
                                    [p[:3, 3] for p in poses_gt])
     assert err < 0.04, err
+
+
+def _drive(busy: bool, linearize: bool):
+    """Run the loop with a backend whose device never looks finished
+    (busy=True) under drop (linearize=False) or wait semantics."""
+    poses_gt, images = make_sequence(n=22, step=0.02)
+    K_mat = np.array([[FX, 0, CX], [0, FY, CY], [0, 0, 1]], np.float32)
+    cfg = TsdfConfig(voxel_size=0.02, table_dim=64, pool_size=4096,
+                     truncation=0.08, max_depth=8.0)
+    backend = TandemBackend(OracleRunner(busy=busy), cfg, K_mat, H, W,
+                            mesh_extraction_freq=0)
+    opts = FullSystemOptions(selection_threshold_factor=0.35,
+                             kf_global_weight=7.0, init_max_width=0.4,
+                             mvs_view_num=4, linearize=linearize)
+    fs = FullSystem(FX, FY, CX, CY, H, W, options=opts, backend=backend)
+    for i, img in enumerate(images):
+        bgr = np.stack([img] * 3, -1).astype(np.uint8)
+        fs.add_active_frame(img, i, float(i) * 0.1, bgr=bgr)
+    return fs, backend
+
+
+def test_backend_drop_and_wait_modes():
+    """Reference drop/wait parity (FullSystem.cpp:1144-1151): real-time mode
+    DROPS keyframes while the backend is busy; linearize mode WAITS so no
+    keyframe is ever dropped."""
+    fs, backend = _drive(busy=True, linearize=False)
+    assert fs.initialized
+    # first window launches (backend idle), every later window is dropped
+    # because the 'device' never finishes by probe time
+    assert backend.call_num == 1
+    assert fs.n_dropped_kf >= 1
+
+    fs2, backend2 = _drive(busy=True, linearize=True)
+    assert fs2.initialized
+    assert fs2.n_dropped_kf == 0
+    assert backend2.call_num >= 2    # waits instead of dropping

@@ -61,8 +61,12 @@ def test_allocate_and_integrate_wall():
 def test_integrate_culled_matches_full():
     """Frustum-culled integrate == full-pool walk, exactly: blocks outside
     the frustum fail the in_img test in the full walk anyway, so culling
-    only removes no-op work. Also: an away-facing camera sees ~no blocks."""
-    from tandem_tpu.mapping.tsdf import integrate_culled, visible_slots
+    only removes no-op work. Also: an away-facing camera sees ~no blocks.
+
+    integrate/integrate_culled DONATE the input volume (linear API), so the
+    comparison branches from an explicit copy_volume()."""
+    from tandem_tpu.mapping.tsdf import (copy_volume, integrate_culled,
+                                         visible_slots)
 
     K, pose = _camera()
     depth = _wall_depth()
@@ -78,9 +82,10 @@ def test_integrate_culled_matches_full():
     # the facing camera sees (nearly) everything it allocated
     assert n_vis > 0.9 * n_alloc
 
+    vol_branch = copy_volume(vol)
     vol_full = integrate(CFG, vol, depth, color, K, pose, chunk=1024)
-    vol_cull = integrate_culled(CFG, vol, depth, color, K, pose, slots,
-                                n_vis, chunk=1024)
+    vol_cull = integrate_culled(CFG, vol_branch, depth, color, K, pose,
+                                slots, n_vis, chunk=1024)
     np.testing.assert_array_equal(np.asarray(vol_full.tsdf),
                                   np.asarray(vol_cull.tsdf))
     np.testing.assert_array_equal(np.asarray(vol_full.weight),
@@ -97,6 +102,57 @@ def test_integrate_culled_matches_full():
     vol_a = integrate_culled(CFG, vol_cull, depth, color, K, away, slots_a,
                              int(n_vis_a), chunk=1024)
     assert np.asarray(vol_a.weight).max() == 1.0  # no double integration
+
+
+def test_integrate_culled_adversarial_poses():
+    """visible_slots exactness under adversarial cameras: camera INSIDE the
+    allocated band, camera just behind it looking through, and a wide-FOV
+    camera (high obliquity — the case a naive fx*r/(z-r) margin misses).
+    For each, culled integrate must equal the full-pool walk exactly."""
+    from tandem_tpu.mapping.tsdf import (copy_volume, integrate_culled,
+                                         visible_slots)
+
+    K, pose = _camera()
+    depth = _wall_depth(2.0)
+    color = jnp.broadcast_to(jnp.array([90.0, 120.0, 200.0]), (H, W, 3))
+
+    vol = create_volume(CFG)
+    vol = allocate_blocks(CFG, vol, depth, K, pose)
+    vol = integrate(CFG, vol, depth, color, K, pose)
+    n_alloc = int(vol.n_allocated)
+    assert n_alloc > 0
+
+    # wide-FOV camera: fx=fy=25 at 80px wide -> tan(half-FOV) ~ 1.6
+    K_wide = jnp.asarray(np.array(
+        [[25.0, 0, (W - 1) / 2], [0, 25.0, (H - 1) / 2], [0, 0, 1]],
+        np.float32))
+
+    def pose_at(tx, ty, tz):
+        p = np.eye(4, dtype=np.float32)
+        p[:3, 3] = [tx, ty, tz]
+        return jnp.asarray(p)
+
+    cases = [
+        (K, pose_at(0.0, 0.0, 1.98)),    # inside the truncation band
+        (K, pose_at(0.0, 0.0, 2.02)),    # inside, just past the surface
+        (K, pose_at(0.03, -0.02, 1.995)),  # inside, off-center
+        (K_wide, pose_at(0.0, 0.0, 1.0)),  # wide FOV, oblique blocks
+        (K_wide, pose_at(0.5, 0.3, 1.9)),  # wide FOV from inside the band
+    ]
+    for Kc, pc in cases:
+        slots, n_vis = visible_slots(CFG, vol, Kc, pc, H, W)
+        n_vis = int(n_vis)
+        vol_branch = copy_volume(vol)
+        vol_full = integrate(CFG, copy_volume(vol), depth, color, Kc, pc,
+                             chunk=1024)
+        vol_cull = integrate_culled(CFG, vol_branch, depth, color, Kc, pc,
+                                    slots, n_vis, chunk=1024)
+        np.testing.assert_array_equal(np.asarray(vol_full.tsdf),
+                                      np.asarray(vol_cull.tsdf))
+        np.testing.assert_array_equal(np.asarray(vol_full.weight),
+                                      np.asarray(vol_cull.weight))
+        np.testing.assert_array_equal(np.asarray(vol_full.color),
+                                      np.asarray(vol_cull.color))
 
 
 def test_raycast_roundtrip_wall():
@@ -237,3 +293,57 @@ def test_splat_cross_block_faces():
     hit2 = crop2 > 0
     assert hit2.mean() > 0.97
     assert np.median(np.abs(crop2[hit2] - 2.07)) < CFG.voxel_size * 1.5
+
+
+def test_pool_overflow_growth():
+    """Pool exhaustion: drops are COUNTED (n_dropped — the reference aborts
+    instead, heap.cu:16-18), growth is pure padding, and the idempotent
+    allocate retry converges to exactly the same allocation a big-enough
+    pool produces up front."""
+    import dataclasses
+    from tandem_tpu.mapping.tsdf import grow_volume
+
+    K, pose = _camera()
+    depth = _wall_depth(2.0)
+    color = jnp.full((H, W, 3), 100.0)
+
+    small = dataclasses.replace(CFG, pool_size=64, pool_max=4096)
+    vol = create_volume(small)
+    vol = allocate_blocks(small, vol, depth, K, pose)
+    assert int(vol.n_allocated) == 64          # saturated
+    assert int(vol.n_dropped) > 0              # drops are observable
+
+    cfg = small
+    prev_drop = int(vol.n_dropped)
+    for _ in range(10):
+        cfg, vol = grow_volume(cfg, vol)
+        vol = allocate_blocks(cfg, vol, depth, K, pose)
+        d = int(vol.n_dropped)
+        if d == prev_drop:
+            break
+        prev_drop = d
+    assert int(vol.n_dropped) == prev_drop     # converged, pool big enough
+
+    big = dataclasses.replace(CFG, pool_size=4096)
+    ref = allocate_blocks(big, create_volume(big), depth, K, pose)
+    assert int(vol.n_allocated) == int(ref.n_allocated)
+    # the grown volume's allocated block set == the fresh one's
+    pt_g = np.asarray(vol.page_table) >= 0
+    pt_r = np.asarray(ref.page_table) >= 0
+    np.testing.assert_array_equal(pt_g, pt_r)
+
+    # integrate + render work on the grown volume
+    vol = integrate(cfg, vol, depth, color, K, pose, chunk=512)
+    assert np.asarray(vol.weight).max() == 1.0
+    from tandem_tpu.mapping.tsdf import render_depth_splat
+    r = np.asarray(render_depth_splat(cfg, vol, K, pose, H, W, chunk=512))
+    crop = r[10:-10, 10:-10]
+    hit = crop > 0
+    assert hit.mean() > 0.95
+    assert np.median(np.abs(crop[hit] - 2.0)) < CFG.voxel_size * 1.5
+
+    # grow_volume refuses to exceed pool_max
+    capped = dataclasses.replace(CFG, pool_size=128, pool_max=128)
+    v2 = create_volume(capped)
+    c2, v2 = grow_volume(capped, v2)
+    assert c2.pool_size == 128
