@@ -125,7 +125,9 @@ def main(args):
     fps = count / max(elapsed, 1e-9)
 
     errors = jax.tree_util.tree_map(lambda v: v / count, sums)
-    base = args.ckpt.rstrip("/").rstrip(".ckpt")
+    # (removesuffix, not rstrip: rstrip strips a CHAR SET and would eat
+    # trailing 'c/k/p/t' letters of arbitrary checkpoint names)
+    base = args.ckpt.rstrip("/").removesuffix(".ckpt")
     with open(base + ".pkl", "wb") as fp:
         pickle.dump(errors, fp)
     write_report(base, errors, fps, args)

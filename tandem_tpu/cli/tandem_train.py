@@ -112,7 +112,8 @@ def main(args):
         for batch in make_batches(ds, batch_size,
                                   shuffle=config["TRAIN.SHUFFLE"],
                                   drop_last=config["TRAIN.DROP_LAST"],
-                                  seed=config["TRAIN.SEED"] + epoch):
+                                  seed=config["TRAIN.SEED"] + epoch,
+                                  num_workers=config["TRAIN.NUM_WORKERS"]):
             if config["AUG.ANY"]:
                 aug_key, k = jax.random.split(aug_key)
                 batch = jax.device_get(augment_batch(

@@ -254,13 +254,50 @@ def collate(items: Sequence[dict]) -> dict:
 
 
 def make_batches(dataset, batch_size: int, shuffle: bool = False,
-                 drop_last: bool = True, seed: int = 1234):
-    """Minimal host-side batch iterator (replaces torch DataLoader)."""
+                 drop_last: bool = True, seed: int = 1234,
+                 num_workers: int = 0, prefetch_batches: int = 2):
+    """Host-side batch iterator (replaces the torch DataLoader,
+    datasets.py:622-655).
+
+    With ``num_workers > 0`` samples are decoded by a thread pool and
+    assembled into IN-ORDER batches with a bounded lookahead of
+    ``prefetch_batches`` beyond the one being consumed — the reference's
+    num_workers=3 loader overlap (the decode path is cv2.imread/resize +
+    numpy, which all release the GIL, so threads scale where torch needs
+    worker processes). Batch contents and order are identical to the
+    serial path for the same seed.
+    """
     order = np.arange(len(dataset))
     if shuffle:
         np.random.RandomState(seed).shuffle(order)
     n = len(order)
     end = n - (n % batch_size) if drop_last else n
-    for i in range(0, end, batch_size):
-        idx = order[i:i + batch_size]
-        yield collate([dataset[int(j)] for j in idx])
+    batches = [order[i:i + batch_size] for i in range(0, end, batch_size)]
+
+    if num_workers <= 0:
+        for idx in batches:
+            yield collate([dataset[int(j)] for j in idx])
+        return
+
+    from collections import deque
+    from concurrent.futures import ThreadPoolExecutor
+
+    with ThreadPoolExecutor(max_workers=num_workers) as ex:
+        pending = deque()   # deque of per-batch [sample futures]
+        bi = iter(batches)
+
+        def submit():
+            idx = next(bi, None)
+            if idx is None:
+                return False
+            pending.append([ex.submit(dataset.__getitem__, int(j))
+                            for j in idx])
+            return True
+
+        for _ in range(1 + prefetch_batches):
+            if not submit():
+                break
+        while pending:
+            futs = pending.popleft()
+            yield collate([f.result() for f in futs])
+            submit()

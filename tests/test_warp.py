@@ -94,3 +94,51 @@ def test_warp_materialize_modes_identical(setup):
         np.testing.assert_allclose(np.asarray(w), np.asarray(base),
                                    atol=1e-6, err_msg=mode)
         np.testing.assert_array_equal(np.asarray(m), np.asarray(bmask))
+
+
+def _adaptive_depth(rng, base_z=2.0, amp=0.4, interval=0.03, D=8):
+    """Smooth surface +/- a fixed ladder — the stage-2/3 adaptive range
+    shape the grouped gather is designed for."""
+    ys, xs = np.meshgrid(np.arange(H), np.arange(W), indexing="ij")
+    base = base_z + amp * np.sin(xs / W * 4.0) * np.cos(ys / H * 3.0)
+    offs = (np.arange(D) - (D - 1) / 2.0) * interval
+    return (base[None] + offs[:, None, None])[None].astype(np.float32)
+
+
+def test_warp_grouped_matches_plain(setup):
+    """plane_group>1 (patch-row gather) must compute the same bilinear warp
+    as the plain path — only f32 reassociation differs. Covers engaged
+    groups AND the whole-view lax.cond fallback (wide random ladder)."""
+    feats, K, src, ref, _ = setup
+    args = dict(src_K=jnp.asarray(K[None]),
+                src_cam_to_world=jnp.asarray(src[None]),
+                ref_K=jnp.asarray(K[None]),
+                ref_cam_to_world=jnp.asarray(ref[None]))
+    rng = np.random.RandomState(1)
+
+    # Narrow adaptive ladder: the grouped branch engages.
+    depth = jnp.asarray(_adaptive_depth(rng, interval=0.02, D=8))
+    base, bmask = plane_sweep_warp(jnp.asarray(feats), depth, **args)
+    for G, P, S in ((2, 4, 2), (4, 6, 2), (4, 8, 4), (8, 8, 4)):
+        w, m = plane_sweep_warp(jnp.asarray(feats), depth, plane_group=G,
+                                patch=P, patch_stride=S, **args)
+        np.testing.assert_allclose(np.asarray(w), np.asarray(base),
+                                   atol=1e-5, err_msg=f"G={G} P={P} S={S}")
+        np.testing.assert_array_equal(np.asarray(m), np.asarray(bmask))
+
+    # Wide random ladder: spans blow the patch, the cond falls back to the
+    # plain gather — still identical.
+    depth_w = jnp.asarray((1.0 + 2.0 * rng.rand(B, 8, H, W))
+                          .astype(np.float32))
+    base_w, bmask_w = plane_sweep_warp(jnp.asarray(feats), depth_w, **args)
+    w, m = plane_sweep_warp(jnp.asarray(feats), depth_w, plane_group=4,
+                            patch=6, patch_stride=2, **args)
+    np.testing.assert_allclose(np.asarray(w), np.asarray(base_w), atol=1e-6)
+    np.testing.assert_array_equal(np.asarray(m), np.asarray(bmask_w))
+
+    # D not divisible by the group -> plain path, same result.
+    depth5 = jnp.asarray(_adaptive_depth(rng, interval=0.02, D=5))
+    b5, _ = plane_sweep_warp(jnp.asarray(feats), depth5, **args)
+    w5, _ = plane_sweep_warp(jnp.asarray(feats), depth5, plane_group=4,
+                             patch=6, patch_stride=2, **args)
+    np.testing.assert_allclose(np.asarray(w5), np.asarray(b5), atol=1e-6)
