@@ -242,6 +242,51 @@ class MVSDataset:
         return self.scenes[scene_idx][idx - int(self.start[scene_idx])]
 
 
+class NamedDataset:
+    """Tags every sample with its dataset name (datasets.py:573-593) — the
+    per-dataset epoch_end_mean reducers key off ``dataset_name``."""
+
+    def __init__(self, *, name: str, dataset):
+        self.name = name
+        self.dataset = dataset
+
+    def __len__(self):
+        return len(self.dataset)
+
+    def __getitem__(self, idx):
+        item = self.dataset[idx]
+        assert isinstance(item, dict)
+        assert "dataset_name" not in item, list(item.keys())
+        item["dataset_name"] = self.name
+        return item
+
+    def __repr__(self):
+        return f"NamedDataset: name={self.name}, dataset={self.dataset!r}"
+
+
+class TruncatedDataset:
+    """Length-limited view of a dataset; ``front=True`` keeps the LAST
+    ``length`` samples (datasets.py:596-615 semantics, offset included)."""
+
+    def __init__(self, *, length: int, dataset, front: bool = False):
+        self.length = min(length, len(dataset))
+        self.dataset = dataset
+        self.offset = len(dataset) - self.length if front else 0
+
+    def __len__(self):
+        return self.length
+
+    def __getitem__(self, idx):
+        if idx < self.length:
+            return self.dataset[self.offset + idx]
+        raise IndexError(f"Index {idx} out of bounds for TruncatedDataset "
+                         f"of length {self.length}")
+
+    def __repr__(self):
+        return (f"TruncatedDataset: length={self.length}, "
+                f"offset={self.offset}, dataset={self.dataset!r}")
+
+
 def collate(items: Sequence[dict]) -> dict:
     """Stack sample dicts into batched numpy arrays (model input contract)."""
     def stack(key_path, items):

@@ -16,6 +16,7 @@ Simplifications vs DSO (documented for later parity work):
 from __future__ import annotations
 
 import dataclasses
+import os
 from functools import partial
 from typing import List, Optional
 
@@ -75,6 +76,13 @@ class FullSystemOptions:
     # linearizeOperation (playbackSpeed == 0): a busy backend is WAITED for;
     # real-time mode DROPS the keyframe instead (FullSystem.cpp:1144-1151).
     linearize: bool = True
+    # Debug observability (setting_logStuff logs/*.txt dumps,
+    # FullSystem.cpp:78-121; debugSaveDepthImages per-frame u16 depth PNGs,
+    # settings.h:219-222). Both off by default like the reference.
+    log_stuff: bool = False
+    log_dir: str = "logs"
+    debug_save_depth_images: bool = False
+    depth_save_folder: str = "depths"
 
 
 def make_full_system_options(s) -> "FullSystemOptions":
@@ -102,7 +110,12 @@ def make_full_system_options(s) -> "FullSystemOptions":
         tracking_step=s.tracking_step,
         rgbd=s.rgbd,
         dense_tracking=(s.tracking_type == "dense"),
-        linearize=(s.playback_speed == 0))
+        linearize=(s.playback_speed == 0),
+        log_stuff=s.log_stuff,
+        log_dir=os.path.join(s.result_folder, "logs"),
+        debug_save_depth_images=s.debug_save_depth_images,
+        depth_save_folder=(s.depth_save_folder
+                           or os.path.join(s.result_folder, "depths")))
 
 
 class Keyframe:
@@ -158,6 +171,19 @@ class FullSystem:
         self._first_coarse_rmse: Optional[float] = None  # firstCoarseRMSE
         self.n_dropped_kf = 0   # real-time mode backend drops
         self.windows: List[List[int]] = []
+
+        # setting_logStuff observability (FullSystem.cpp:78-121)
+        self.logger = None
+        if self.opt.log_stuff:
+            from ..utils.dso_log import DsoLogger
+            self.logger = DsoLogger(self.opt.log_dir,
+                                    self.opt.max_keyframes)
+        # Cumulative statistics_* counters (FullSystem.h / printLogLine)
+        self._stat_created = 0
+        self._stat_activated = 0
+        self._stat_dropped = 0
+        # Per-frame lifetime records: frame_id -> [marginalized_at, moved]
+        self._lifetimes: dict = {}
 
     # ------------------------------------------------------------------
     def add_active_frame(self, gray: np.ndarray, frame_id: int,
@@ -232,6 +258,25 @@ class FullSystem:
 
         flow = np.asarray(out["flow"])
         need_kf = self._keyframe_decision(flow, out, energy, timestamp)
+        if self.logger is not None:
+            # trackNewCoarse logging (FullSystem.cpp:635-643): id, ts,
+            # exposure, camToWorld.log(), aff a/b, achieved residual, tries.
+            from ..core.se3 import se3_log
+            aff = np.asarray(out["aff"])
+            self.logger.log_coarse_tracking(
+                frame_id, timestamp, 1.0,
+                np.asarray(se3_log(jnp.asarray(c2w.astype(np.float32)))),
+                float(aff[0]), float(aff[1]), energy, 2 if bad else 1)
+        if self.opt.debug_save_depth_images and not need_kf:
+            # saveNKFDepthMap (CoarseTracker.cpp:1136-1215, called from
+            # makeNonKeyFrame FullSystem.cpp:1281): active points projected
+            # into the newly tracked frame.
+            from ..utils.dso_log import save_depth_png
+            idep, wgt = _project_ba_points(
+                self.ba_state, jnp.asarray(c2w.astype(np.float32)), self.K,
+                self.H, self.W)
+            save_depth_png(self.opt.depth_save_folder, frame_id,
+                           np.asarray(idep), np.asarray(wgt))
         if need_kf:
             self._make_keyframe(img, frame_id, timestamp, c2w, bgr)
 
@@ -363,6 +408,9 @@ class FullSystem:
         return (np.linalg.inv(pred_c2w) @ self.ref_kf.c2w).astype(np.float32)
 
     def _record_pose(self, frame_id, timestamp, c2w):
+        # Lifetime record (FrameShell: marginalizedAt defaults to the
+        # frame's own id for non-KF frames; movedByOpt filled at BA).
+        self._lifetimes.setdefault(frame_id, [frame_id, 0.0])
         self.prev_c2w = self.last_c2w
         self.last_c2w = np.asarray(c2w, np.float32)
         self.all_poses.append(self.last_c2w.copy())
@@ -431,6 +479,10 @@ class FullSystem:
         self._marginalize_kf(active[0])
 
     def _marginalize_kf(self, victim: Keyframe):
+        # marginalizedAt = newest KF's id (FullSystem::marginalizeFrame)
+        if victim.frame_id in self._lifetimes:
+            self._lifetimes[victim.frame_id][0] = \
+                self.keyframes[-1].frame_id
         self.ba_state = marginalize_frame(
             self.ba_state, self.slot_images, self.K,
             victim.slot)
@@ -549,6 +601,8 @@ class FullSystem:
         # (activatePointsMT over the active window, FullSystem.cpp:1335) —
         # fully device-side: activation, free-slot assignment, and scatter
         # insertion run in one jitted call per host KF (no host syncs).
+        n_valid_pre_act = (int(jax.device_get(self.ba_state.pt_valid).sum())
+                           if self.logger is not None else 0)
         if not from_init:
             tgt_c2w = jnp.asarray(c2w.astype(np.float32))
             for host_kf in self.kf_of_slot:
@@ -579,6 +633,8 @@ class FullSystem:
         self.ba_state, energy = ba_iterate(
             self.ba_state, self.slot_images, self.K,
             iters=self.opt.ba_iters)
+        n_valid_post_ba = (int(jax.device_get(self.ba_state.pt_valid).sum())
+                           if self.logger is not None else 0)
         self.ba_state = remove_outliers(
             self.ba_state, self.slot_images, self.K)
         jax.block_until_ready(self.ba_state.poses)
@@ -587,6 +643,10 @@ class FullSystem:
         poses = np.asarray(self.ba_state.poses)
         for slot, k in enumerate(self.kf_of_slot):
             if k is not None:
+                moved = float(np.linalg.norm(poses[slot][:3, 3]
+                                             - k.c2w[:3, 3]))
+                if k.frame_id in self._lifetimes:
+                    self._lifetimes[k.frame_id][1] += moved
                 k.c2w = poses[slot]
         kf.c2w = poses[kf.slot]
         self.last_c2w = kf.c2w.copy()
@@ -603,6 +663,13 @@ class FullSystem:
         # Record the optimization window (dso_optimization_windows format)
         win = sorted(k.frame_id for k in self.kf_of_slot if k is not None)
         self.windows.append(win)
+
+        if self.logger is not None:
+            self._stat_created += kf.n_immature
+            n_post = int(jax.device_get(self.ba_state.pt_valid).sum())
+            self._stat_activated += max(n_valid_post_ba - n_valid_pre_act, 0)
+            self._stat_dropped += max(n_valid_post_ba - n_post, 0)
+            self._log_keyframe_stats(kf)
 
         for ow in self.outputs:
             ow.publish_keyframes(self.keyframes)
@@ -669,6 +736,12 @@ class FullSystem:
         idepth0, weight0 = _project_ba_points(
             self.ba_state, jnp.asarray(kf.c2w.astype(np.float32)), self.K,
             self.H, self.W)
+        if self.opt.debug_save_depth_images:
+            # saveKFDepthMap right after the new tracking ref is set
+            # (FullSystem.cpp:1386, CoarseTracker.cpp:1073-1135)
+            from ..utils.dso_log import save_depth_png
+            save_depth_png(self.opt.depth_save_folder, kf.frame_id,
+                           np.asarray(idepth0), np.asarray(weight0))
 
         dense_id = dense_w = None
         if kf.sensor_depth is not None:
@@ -705,6 +778,32 @@ class FullSystem:
                     kf.immature, jnp.asarray(kf.c2w),
                     jnp.asarray(c2w.astype(np.float32)), img, self.K)
 
+    def _log_keyframe_stats(self, kf: Keyframe):
+        """printLogLine + printEigenValLine per keyframe
+        (FullSystem.cpp:1664-1781): numsLog counters and the eigen spectra /
+        diagonal / variances / nullspace quadratic forms of the
+        Schur-reduced window system (lastHS/lastbS)."""
+        from ..tracking.ba import ba_log_system
+        H_log, b_log, ns, n_res = jax.device_get(ba_log_system(
+            self.ba_state, self.slot_images, self.K))
+        aff = jax.device_get(self.ba_state.aff)
+        active = sorted((k for k in self.kf_of_slot if k is not None),
+                        key=lambda k: k.kf_id)
+        # Sub-select calib + active-slot rows in window order (DSO's lastHS
+        # only spans live frames; our system carries every slot).
+        idx = list(range(4)) + [4 + k.slot * 8 + j
+                                for k in active for j in range(8)]
+        idx = np.asarray(idx)
+        rmse = self._last_energy if self._last_energy is not None else 0.0
+        self.logger.log_nums(
+            kf.frame_id, rmse, self._stat_created, self._stat_activated,
+            self._stat_dropped, self.opt.ba_iters, int(n_res),
+            float(aff[kf.slot, 0]), float(aff[kf.slot, 1]),
+            active[-1].frame_id - active[0].frame_id, len(active))
+        self.logger.log_eigenvalues(
+            kf.frame_id, H_log[np.ix_(idx, idx)], b_log[idx], ns[idx],
+            len(active))
+
     # ------------------------------------------------------------------
     def write_results(self, out_dir: str):
         import os
@@ -721,6 +820,12 @@ class FullSystem:
         write_optimization_windows(
             os.path.join(out_dir, "dso_optimization_windows.txt"),
             self.windows)
+        if self.logger is not None:
+            # printFrameLifetimes runs at shutdown (FullSystem dtor path)
+            self.logger.log_lifetimes(
+                [(fid, rec[0], 0, 0, rec[1])
+                 for fid, rec in sorted(self._lifetimes.items())])
+            self.logger.close()
 
 
 @partial(jax.jit, static_argnums=(1, 2))

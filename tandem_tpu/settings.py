@@ -55,6 +55,15 @@ class Settings:
     # Headless viewer parity: write per-KF [image | depth | confidence]
     # panels (pushDrKfImage/pushDrKfDepth rendering) under result_folder
     save_dr_video: bool = False
+    # --- debug observability ---
+    # setting_logStuff: write logs/*.txt (nums/eigen/diagonal/variances/
+    # nullspaces/coarseTracking/lifetime dumps, FullSystem.cpp:78-121)
+    log_stuff: bool = False
+    # debugSaveDepthImages + folders (settings.h:219-222): per-frame u16
+    # depth PNGs + _scale.txt sidecars. Empty folder -> result_folder/depths.
+    debug_save_depth_images: bool = False
+    depth_save_folder: str = ""
+    save_depth_scale: float = 1.0
     # --- runtime behaviour ---
     preload: bool = False
     quiet: bool = True
@@ -158,6 +167,10 @@ def parse_arguments(argv, base: Optional[Settings] = None) -> Settings:
         else:
             setattr(s, k, v)
     s.mvsnet_flag = bool(s.mvsnet_folder)
+    if s.nolog:
+        # commandline.cpp:190 nolog=1 -> setting_logStuff=false (the four
+        # presets also force it off, :37/:63/:88/:113 — logging is opt-in)
+        s.log_stuff = False
     if s.mvsnet_staged not in ("mono", "staged", "perview"):
         raise ValueError(f"mvsnet_staged must be mono|staged|perview, "
                          f"got {s.mvsnet_staged!r}")

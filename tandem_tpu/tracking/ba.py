@@ -561,6 +561,35 @@ def ba_iterate(state: BAState, images, K, iters: int = 6,
 
 
 @jax.jit
+def ba_log_system(state: BAState, images, K):
+    """Schur-reduced window system for debug logging — DSO's ``lastHS`` /
+    ``lastbS`` (EnergyFunctional.cpp:842-848: HFinal_top = HL+HM+HA;
+    lastHS = HFinal_top - H_sc), consumed by printEigenValLine
+    (FullSystem.cpp:1709-1781). Column layout matches DSO: 4 calib (CPARS)
+    columns FIRST, then 8 per frame — the repo's solver keeps calib last,
+    so logs stay diffable against reference dumps.
+
+    :return: (H (P, P), b (P,), nullspaces (P, 9), n_active_residuals)
+        with P = 8F + 4.
+    """
+    F = state.poses.shape[0]
+    r, Jf, Ji, J_K, w, active = _system_terms(state, images, K)
+    H_ff, b_f, H_pp, H_fp, b_p, _ = _assemble(state, r, Jf, Ji, J_K, w)
+    d = _prior_delta(state)
+    H = H_ff + state.Hm
+    b = b_f + state.bm + state.Hm @ d
+    H_pp_safe = H_pp + 1e-1
+    H = H - jnp.einsum("np,n,nq->pq", H_fp, 1.0 / H_pp_safe, H_fp)
+    b = b - jnp.einsum("np,n->p", H_fp, b_p / H_pp_safe)
+    perm = jnp.concatenate([jnp.arange(F * 8, F * 8 + 4),
+                            jnp.arange(F * 8)])
+    ns = gauge_nullspaces(state.poses, state.frame_valid)[perm]
+    # active: per-(point, frame) residual activity -> DSO's resInA count
+    n_active = jnp.sum(active.astype(jnp.int32))
+    return H[perm][:, perm], b[perm], ns, n_active
+
+
+@jax.jit
 def remove_outliers(state: BAState, images, K,
                     energy_threshold: float = 12.0 ** 2):
     """Deactivate points whose mean per-pixel residual energy across their

@@ -94,6 +94,29 @@ def test_dataset_and_batches(tmp_path):
     assert b["depth_min"].shape == (2,)
 
 
+def test_named_truncated_wrappers(tmp_path):
+    """NamedDataset tags samples; TruncatedDataset limits length with the
+    front/back offset semantics (datasets.py:573-615)."""
+    from tandem_tpu.data.replica import NamedDataset, TruncatedDataset
+
+    scene = MVSScene(write_scene(str(tmp_path / "scene9")))
+    named = NamedDataset(name="replica", dataset=scene)
+    assert len(named) == len(scene)
+    assert named[0]["dataset_name"] == "replica"
+
+    n = len(scene)
+    back = TruncatedDataset(length=n - 1, dataset=scene)
+    front = TruncatedDataset(length=n - 1, dataset=scene, front=True)
+    assert len(back) == len(front) == n - 1
+    assert np.array_equal(back[0]["image"], scene[0]["image"])
+    assert np.array_equal(front[0]["image"], scene[1]["image"])
+    try:
+        back[n - 1]
+        assert False, "expected IndexError"
+    except IndexError:
+        pass
+
+
 def test_make_batches_workers_identical(tmp_path):
     """num_workers>0 yields byte-identical batches in identical order to the
     serial path (in-order assembly), for both shuffle modes."""
