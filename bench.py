@@ -68,14 +68,16 @@ def main():
     # The runtime path: MvsnetRunner's compiled program chain exactly as
     # the SLAM pipeline ships it (cascade + edge filter as chained jits;
     # see the fusion-boundary lesson in docs/PERF.md). BENCH_MVSNET_MODE
-    # picks the program split (mono | staged | perview); the default stays
-    # mono until the v5e shootout (experiments/bench_runner_modes.py)
-    # lands a winner.
+    # picks the program split (mono | staged | perview); the default is
+    # the v5e shootout winner (experiments/bench_runner_modes.py,
+    # 2026-08-19: staged 164.7 ms/KF vs mono 174.1, perview 579 — staged
+    # is exact vs mono to 0.0 and ships as the runtime default too,
+    # settings.py mvsnet_staged).
     import os
 
     from tandem_tpu.pipeline.mvsnet_runner import MvsnetRunner
 
-    mode_name = os.environ.get("BENCH_MVSNET_MODE", "mono")
+    mode_name = os.environ.get("BENCH_MVSNET_MODE", "staged")
     runner = MvsnetRunner(model, variables, H, W, view_num=V,
                           staged=mode_name)
     rargs = (runner.variables, image, tuple(Ks), c2w, dmin, dmax)

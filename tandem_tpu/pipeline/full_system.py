@@ -208,13 +208,30 @@ class FullSystem:
 
         tid = self.timer.start_timing("track_frame")
         T_init = self._motion_model()
-        # RGB-D mode tracks with dvo's Student-t robust weighting
-        # (trackNewestCoarseDense -> dvo::DenseTracker::match,
-        # weight_calculation.cpp:470); monocular uses DSO's Huber+cutoff.
-        out = jax.device_get(track_frame(
-            self.tracker_ref, img, jnp.asarray(T_init),
-            jnp.array([1.0, 0.0]),
-            self.opt.rgbd))  # one bundled device->host transfer
+        # RGB-D mode tracks with the full dvo-core DenseTracker (bivariate
+        # intensity+depth residual, multivariate-t IRLS) on pyramid level 1,
+        # then evaluates DSO residual stats at the fixed pose — exactly
+        # trackNewestCoarseDense (CoarseTracker.cpp:939-964: dvo match at
+        # on_level=1 followed by one calcRes(0)). Monocular uses DSO's
+        # coarse-to-fine Huber+cutoff LM.
+        dvo_tracked = False
+        if (self.opt.rgbd and depth is not None
+                and getattr(self, "_dvo_ref", None) is not None):
+            from ..tracking.coarse_tracker import calc_res_eval
+            from ..tracking.dvo import build_rgbd_pyramid, dense_match
+            cur_pyr = build_rgbd_pyramid(
+                img, jnp.asarray(depth.astype(np.float32)),
+                *self.K, num_levels=2)
+            m = dense_match(self._dvo_ref, cur_pyr,
+                            jnp.asarray(T_init), on_level=1)
+            out = jax.device_get(calc_res_eval(
+                self.tracker_ref, img, m["T"], jnp.array([1.0, 0.0])))
+            dvo_tracked = np.isfinite(out["energy"]) and float(m["n"]) >= 6
+        if not dvo_tracked:
+            out = jax.device_get(track_frame(
+                self.tracker_ref, img, jnp.asarray(T_init),
+                jnp.array([1.0, 0.0]),
+                self.opt.rgbd))  # one bundled device->host transfer
         energy = float(out["energy"])
 
         # Multi-hypothesis re-tracking when the motion model fails
@@ -332,6 +349,9 @@ class FullSystem:
         self.tracker_ref = make_tracker_ref(
             img, *self.K, sparse_idepth=jnp.asarray(idepth0),
             sparse_weight=jnp.asarray(valid.astype(np.float32)))
+        from ..tracking.dvo import build_rgbd_pyramid
+        self._dvo_ref = build_rgbd_pyramid(
+            img, jnp.asarray(kf.sensor_depth), *self.K, num_levels=2)
         kf.immature = make_immature(jnp.asarray(uv), img)
         kf.n_immature = min(int(mask.sum()), self.opt.immature_cap)
         self.initialized = True
@@ -768,6 +788,14 @@ class FullSystem:
             sparse_idepth=jnp.asarray(idepth0),
             sparse_weight=jnp.asarray(weight0),
             dense_idepth=dense_id, dense_weight=dense_w)
+        # RGB-D: the dvo DenseTracker reference pyramid (dvo_img of the
+        # tracking-ref FrameHessian, HessianBlocks.h:307-319) — level 1 is
+        # the only level the runtime matches on (CoarseTracker.cpp:954).
+        if self.opt.rgbd and kf.sensor_depth is not None:
+            from ..tracking.dvo import build_rgbd_pyramid
+            self._dvo_ref = build_rgbd_pyramid(
+                kf.image, jnp.asarray(kf.sensor_depth), *self.K,
+                num_levels=2)
 
     def _trace_on_frame(self, img, c2w):
         """traceNewCoarse: update immature points of active KFs against the

@@ -47,8 +47,10 @@ class Settings:
     # jits), "perview" (per-view warp programs + stage tail). All three are
     # mathematically identical (test_parity_model); the split modes exist
     # because XLA schedules a monolithic 640x480 program worse than its
-    # parts (docs/PERF.md fusion-boundary lesson).
-    mvsnet_staged: str = "mono"     # "mono" | "staged" | "perview"
+    # parts (docs/PERF.md fusion-boundary lesson). v5e shootout
+    # (experiments/bench_runner_modes.py, 2026-08-19): staged 164.7 ms/KF,
+    # mono 174.1, perview 579 — staged ships as the default.
+    mvsnet_staged: str = "staged"   # "mono" | "staged" | "perview"
     mesh_extraction_freq: int = 10
     dense_tracking_with_dense_depth_only: bool = False
     dr_timing: bool = False

@@ -563,6 +563,35 @@ def track_frame_multi(ref: CoarseTrackerRef, new_image, T_inits, aff_init,
     return jax.tree_util.tree_map(lambda x: x[best], outs)
 
 
+@jax.jit
+def calc_res_eval(ref: CoarseTrackerRef, new_image, T, aff):
+    """Level-0 residual statistics at a FIXED pose — the reference's single
+    ``calcRes(0, lastToNew, aff, setting_coarseCutoffTH)`` call after the
+    dvo dense match (trackNewestCoarseDense, CoarseTracker.cpp:960-963):
+    lastResiduals[0] and the flow indicators come from the DSO Huber energy
+    even though the pose was estimated by the t-distribution tracker.
+
+    Returns the same dict shape as ``track_frame`` (T/aff passed through).
+    """
+    new_pyr = build_pyramid(new_image, NUM_LEVELS)
+    packed0 = _pack_level(new_pyr[0]["img"], new_pyr[0]["gx"],
+                          new_pyr[0]["gy"])
+    H, W = new_pyr[0]["img"].shape
+    pts0 = (ref.pu[0], ref.pv[0], ref.pid[0], ref.pcolor[0], ref.pvalid[0])
+    Tb, affb = T[None], aff[None]
+    e, n, _, _ = _energy_and_system(Tb, affb, pts0, packed0, H, W, ref.K[0])
+    _, _, good, _, _ = _level_residuals(Tb, affb, pts0, packed0, H, W,
+                                        ref.K[0])
+    return {
+        "T": T, "aff": aff,
+        "energy": e[0] / jnp.maximum(n[0], 1.0),
+        "num_terms": n[0],
+        "valid_frac": (jnp.sum(good[0].astype(jnp.float32))
+                       / jnp.maximum(jnp.sum(ref.pvalid[0]), 1.0)),
+        "flow": _flow_indicators(Tb, pts0, ref.K[0])[0],
+    }
+
+
 @partial(jax.jit, static_argnums=(4,))
 def track_frame(ref: CoarseTrackerRef, new_image, T_init, aff_init,
                 tdist: bool = False):
