@@ -40,9 +40,16 @@ class ThreadPool {
   }
 
   // Blocks until fn(lo, hi) has been applied over [0, total) in chunks.
+  // Concurrent external callers serialize on submit_m_: the pipeline calls
+  // into the native kernels from the reader, tracking and backend threads
+  // simultaneously, and the dispatch state (next_/total_/chunk_/fn_) is
+  // one set of slots (race found by scripts/tsan_check.sh, fixed here;
+  // the reference's IndexThreadReduce has one instance per owner thread
+  // instead — IndexThreadReduce.h:38).
   void ParallelFor(int total, int chunk,
                    const std::function<void(int, int)>& fn) {
     if (total <= 0) return;
+    std::lock_guard<std::mutex> submit_lock(submit_m_);
     next_.store(0);
     total_ = total;
     chunk_ = std::max(chunk, 1);
@@ -97,6 +104,7 @@ class ThreadPool {
   }
 
   std::vector<std::thread> workers_;
+  std::mutex submit_m_;   // serializes external ParallelFor callers
   std::mutex m_;
   std::condition_variable cv_, done_cv_;
   bool stop_;

@@ -1,5 +1,6 @@
 """Native C++ library: build, and parity with the numpy/JAX fallbacks."""
 
+import os
 import numpy as np
 import pytest
 
@@ -128,3 +129,22 @@ def test_bgr_pack_u8_matches_numpy():
         np.stack([np.ascontiguousarray(b[..., ::-1]) for b in bgrs]),
         (0, 3, 1, 2)))
     assert out.dtype == np.uint8 and np.array_equal(out, ref)
+
+
+@pytest.mark.slow
+def test_tsan_race_detection():
+    """Host-threading race CI (SURVEY.md §5.2): builds the native lib +
+    stress harness under -fsanitize=thread and fails on any data race.
+    The harness already caught one real bug: concurrent external
+    ParallelFor callers raced on the dispatch slots (fixed with the
+    submit lock, tandem_native.cpp ThreadPool::ParallelFor)."""
+    import subprocess
+    script = os.path.join(os.path.dirname(os.path.dirname(
+        os.path.abspath(__file__))), "scripts", "tsan_check.sh")
+    probe = subprocess.run(
+        ["g++", "-fsanitize=thread", "-x", "c++", "-", "-o", "/dev/null"],
+        input=b"int main(){return 0;}", capture_output=True)
+    if probe.returncode != 0:
+        pytest.skip("toolchain lacks -fsanitize=thread")
+    r = subprocess.run(["bash", script], capture_output=True, timeout=600)
+    assert r.returncode == 0, r.stdout.decode() + r.stderr.decode()
