@@ -112,9 +112,23 @@ def main(argv=None):
             backend.output_wrappers.append(PanelOutputWrapper(
                 os.path.join(s.result_folder, "dr_video")))
 
+    outputs = []
+    viewer = None
+    if s.viewer3d:
+        # PangolinDSOViewer substitute: interactive when DISPLAY allows,
+        # PNG recordings under result_folder otherwise (pipeline/viewer.py).
+        from ..pipeline.viewer import Viewer3DWrapper
+        viewer = Viewer3DWrapper(
+            K=(fx, fy, cx, cy),
+            out_dir=(None if os.environ.get("DISPLAY")
+                     else os.path.join(s.result_folder, "view3d")))
+        outputs.append(viewer)
+        if backend is not None:
+            backend.output_wrappers.append(viewer)
+
     opts = make_full_system_options(s)
     fs = FullSystem(fx, fy, cx, cy, H, W, options=opts, backend=backend,
-                    timer=timer)
+                    timer=timer, outputs=outputs)
 
     # ImageFolderReader handles undistortion (geometric + photometric) and
     # times.txt timestamps (DatasetReader semantics).
@@ -162,6 +176,10 @@ def main(argv=None):
         save_obj(os.path.join(out, "mesh.obj"), verts, faces, cols)
     if s.dr_timing:
         timer.write_to_file(os.path.join(out, "dr_times.txt"))
+    if viewer is not None:
+        # Final scene snapshot + window teardown (viewer->join, main:267).
+        viewer.snapshot(os.path.join(out, "view3d_final.png"))
+        viewer.join()
 
     n = len(fs.all_poses)
     # End-of-run FPS block (main_tandem_pangolin.cpp:276-283)

@@ -57,6 +57,10 @@ class Settings:
     # Headless viewer parity: write per-KF [image | depth | confidence]
     # panels (pushDrKfImage/pushDrKfDepth rendering) under result_folder
     save_dr_video: bool = False
+    # 3D viewer (PangolinDSOViewer substitute, pipeline/viewer.py):
+    # interactive window when DISPLAY allows, else view3d_*.png recordings
+    # under result_folder. Enabled by the gui preset like the reference.
+    viewer3d: bool = False
     # --- debug observability ---
     # setting_logStuff: write logs/*.txt (nums/eigen/diagonal/variances/
     # nullspaces/coarseTracking/lifetime dumps, FullSystem.cpp:78-121)
@@ -113,6 +117,7 @@ def preset(name: str) -> Settings:
         s.preload = False
         s.playback_speed = 0.0
         s.mesh_extraction_freq = 5
+        s.viewer3d = True
     elif name == "demo":
         # live camera: real-time enforcing => backend drops busy keyframes
         s.preload = False
