@@ -50,7 +50,8 @@ def main(n_frames=60):
     frames, fx, cx, cy = make_frames(n_frames, H, W)
     K_mat = np.array([[fx, 0, cx], [0, fx, cy], [0, 0, 1]], np.float32)
 
-    model = CvaMVSNet(view_aggregation=True, dtype=jnp.bfloat16)
+    model = CvaMVSNet(depth_num=(48, 4, 4), view_aggregation=True,
+                      dtype=jnp.bfloat16)  # deployed abl04 arch
     variables = init_variables(model, H, W, 7)
     import os
     runner = MvsnetRunner(model, variables, H, W, view_num=7,

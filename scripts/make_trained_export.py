@@ -41,6 +41,21 @@ REF = "/root/reference/tandem/exported"
 WEIGHTS_SRC = f"{REF}/tandem_512x320/model.pt"
 DISCARD = 10.0
 
+# The deployed architecture is abl04 "fewer depth planes": DEPTH_NUM
+# (48, 4, 4) — proven from the frozen graphs themselves: both shipped
+# model.pt files contain 4x (1, 2, 2)-stride 3D convs, the CostRegNet
+# has_four_depths branch that only exists for D == 4 (module.py:554-567;
+# configs/abl04_fewer_depth_planes.yaml DEPTH_NUM (48, 4, 4)). The paper's
+# 201 ms/KF GPU number (abl04_fewer_depth_planes.txt) is for THIS shape.
+DEPTH_NUM = [48, 4, 4]
+MODEL_CONFIG = {
+    "depth_num": DEPTH_NUM,
+    "depth_interval_ratio": [1.0, 0.5, 0.25],
+    "feature_net_base_channels": 8,
+    "cost_volume_base_channels": [8, 8, 8],
+    "view_aggregation": True,
+}
+
 
 def make_inputs(H, W, V=7, seed=7):
     """Synthetic but geometrically valid 7-view window: smooth textures,
@@ -96,7 +111,7 @@ def main():
     variables = convert_state_dict(sd, view_aggregation=True)
 
     _, cva = import_reference_models()
-    eager = cva.CvaMVSNet(depth_num=[48, 32, 8],
+    eager = cva.CvaMVSNet(depth_num=DEPTH_NUM,
                           depth_interval_ratio=[1.0, 0.5, 0.25],
                           feature_net_base_channels=8,
                           cost_volume_base_channels=[8, 8, 8],
@@ -119,11 +134,31 @@ def main():
         np.savez_compressed(pack_path, **pack)
         with open(os.path.join(out_dir, "model_variables.pkl"), "wb") as f:
             pickle.dump(variables, f)
+        import json
+        with open(os.path.join(out_dir, "model_config.json"), "w") as f:
+            json.dump(MODEL_CONFIG, f, indent=1)
         err = verify_golden(pack_path, jax.tree_util.tree_map(
             np.asarray, variables))
         print(f"{name} ({W}x{H}): TPU-vs-reference golden MAE = {err:.2e} "
               f"({'OK' if err < 1e-2 else 'FAIL'})")
         assert err < 1e-2
+
+        # Self-contained StableHLO module (the model.pt analogue).
+        from tandem_tpu.cli.tandem_export import (export_stablehlo,
+                                                  verify_stablehlo)
+        mk = {k: (tuple(v) if isinstance(v, list) else v)
+              for k, v in MODEL_CONFIG.items()}
+
+        class _A:
+            height, width, view_num = H, W, 7
+            view_aggregation = True
+        if export_stablehlo(variables, _A,
+                            os.path.join(out_dir, "model.stablehlo"),
+                            model_kwargs=mk):
+            serr = verify_stablehlo(out_dir)
+            print(f"{name}: stablehlo golden replay MAE = {serr:.2e} "
+                  f"({'OK' if serr < 1e-2 else 'FAIL'})")
+            assert serr < 1e-2
 
 
 if __name__ == "__main__":

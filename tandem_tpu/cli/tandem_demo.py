@@ -57,7 +57,9 @@ def main(argv=None):
         with open(os.path.join(s.mvsnet_folder,
                                "model_variables.pkl"), "rb") as f:
             variables = pickle.load(f)
-        model = CvaMVSNet(view_aggregation=True, dtype=jnp.bfloat16)
+        from .tandem_export import load_model_config
+        model = CvaMVSNet(**load_model_config(s.mvsnet_folder),
+                          dtype=jnp.bfloat16)
         runner = MvsnetRunner(model, variables, H, W,
                               view_num=s.dr_mvsnet_view_num,
                               staged=s.mvsnet_staged)

@@ -30,8 +30,35 @@ parser.add_argument("--height", type=int, default=480)
 parser.add_argument("--view-num", type=int, default=7)
 parser.add_argument("--discard-percentage", type=float, default=10.0)
 parser.add_argument("--view-aggregation", action="store_true", default=True)
+parser.add_argument("--depth-num", default="48,32,8",
+                    help="per-stage depth planes; the SHIPPED reference "
+                         "model is 48,4,4 (abl04)")
 
 GOLDEN_TOL = 1e-2  # dr_mvsnet_test threshold (dr_mvsnet.cpp:505-521)
+
+
+def load_model_config(unit_dir: str) -> dict:
+    """CvaMVSNet constructor kwargs for a deployable unit.
+
+    The reference's model.pt is self-describing (the traced graph IS the
+    architecture); the TPU unit carries a model_config.json instead. Units
+    without one (older exports) get the training defaults."""
+    import json
+    path = os.path.join(unit_dir, "model_config.json")
+    if os.path.exists(path):
+        with open(path) as f:
+            cfg = json.load(f)
+        return {k: (tuple(v) if isinstance(v, list) else v)
+                for k, v in cfg.items()}
+    return {"view_aggregation": True}
+
+
+def _model_kwargs_from_args(args) -> dict:
+    return {
+        "depth_num": tuple(int(x) for x in
+                           str(args.depth_num).split(",")),
+        "view_aggregation": args.view_aggregation,
+    }
 
 
 def build_inputs(args):
@@ -67,13 +94,15 @@ def build_inputs(args):
     }
 
 
-def run_model(variables, inputs, args):
+def run_model(variables, inputs, args, model_kwargs=None):
     import jax
     import jax.numpy as jnp
 
     from ..models.cva_mvsnet import CvaMVSNet
 
-    model = CvaMVSNet(view_aggregation=args.view_aggregation)
+    model = CvaMVSNet(**(model_kwargs
+                         if model_kwargs is not None
+                         else _model_kwargs_from_args(args)))
 
     @jax.jit
     def forward(variables, image, K1, K2, K3, c2w, dmin, dmax, disc):
@@ -97,10 +126,13 @@ def run_model(variables, inputs, args):
 
 def verify_golden(pack_path: str, variables, args=None) -> float:
     """Replay the golden pack; return worst mean-abs-error. Boot-time
-    self-check (test_dr_mvsnet equivalent)."""
+    self-check (test_dr_mvsnet equivalent). The model architecture comes
+    from the unit's model_config.json when present (self-describing unit,
+    like the reference's traced model.pt)."""
     pack = np.load(pack_path)
     class _A:  # minimal args shim
         view_aggregation = True
+        depth_num = "48,32,8"
         discard_percentage = float(pack["discard_percentage"])
     inputs = {k: pack[k] for k in ("image", "K1", "K2", "K3", "cam_to_world",
                                    "depth_min", "depth_max")}
@@ -108,7 +140,11 @@ def verify_golden(pack_path: str, variables, args=None) -> float:
         # Packs store quantized images (the runtime's own input domain);
         # replay converts exactly like the BGR uint8 path does.
         inputs["image"] = inputs["image"].astype(np.float32) / 255.0
-    outputs = run_model(variables, inputs, args or _A)
+    mk = None
+    if os.path.exists(os.path.join(os.path.dirname(pack_path),
+                                   "model_config.json")):
+        mk = load_model_config(os.path.dirname(pack_path))
+    outputs = run_model(variables, inputs, args or _A, model_kwargs=mk)
     worst = 0.0
     for k, v in outputs.items():
         ref = pack["out." + k]
@@ -116,7 +152,8 @@ def verify_golden(pack_path: str, variables, args=None) -> float:
     return worst
 
 
-def export_stablehlo(variables, args, path: str) -> bool:
+def export_stablehlo(variables, args, path: str,
+                     model_kwargs=None) -> bool:
     """Serialize the stage-3 forward as a self-contained StableHLO module
     (jax.export): weights baked in as constants, fixed shapes, loadable
     and runnable WITHOUT this package's model code — the analogue of the
@@ -130,7 +167,9 @@ def export_stablehlo(variables, args, path: str) -> bool:
 
     from ..models.cva_mvsnet import CvaMVSNet
 
-    model = CvaMVSNet(view_aggregation=args.view_aggregation)
+    model = CvaMVSNet(**(model_kwargs
+                         if model_kwargs is not None
+                         else _model_kwargs_from_args(args)))
     vars_j = jax.tree.map(jnp.asarray, variables)
 
     def fwd(image, K1, K2, K3, c2w, dmin, dmax, disc):
@@ -210,6 +249,11 @@ def main(args):
     import jax
     with open(os.path.join(args.out_dir, "model_variables.pkl"), "wb") as f:
         pickle.dump(jax.device_get(variables), f)
+    # Self-describing unit: the runtime builds the model from this
+    # (the reference's model.pt carries the architecture in its graph).
+    import json
+    with open(os.path.join(args.out_dir, "model_config.json"), "w") as f:
+        json.dump(_model_kwargs_from_args(args), f, indent=1)
 
     # Human-inspectable depth/confidence PNGs (export_model.py:185-190)
     try:

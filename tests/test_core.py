@@ -63,3 +63,27 @@ def test_cam_resize_half_pixel():
     assert np.isclose(half["K"][0, 2], 0.5 * (320 - 1))
     naive = scale_K_naive(cam["K"], 0.5)
     assert np.isclose(naive[0, 2], 159.75)  # the runtime's biased variant
+
+
+def test_ablation_configs_merge():
+    """The four paper-Table-2 ablation configs (reference configs/abl0*.yaml)
+    merge cleanly onto the default and set the documented knobs; abl04 is
+    the SHIPPED runtime architecture (48, 4, 4)."""
+    import os
+    base = os.path.join(os.path.dirname(cfg.__file__), "configs")
+    expect = {
+        "abl01_baseline.yaml": ((48, 32, 8), False,
+                                "dso_optimization_windows_last3"),
+        "abl02_vo_window.yaml": ((48, 32, 8), False,
+                                 "dso_optimization_windows"),
+        "abl03_view_aggregation.yaml": ((48, 32, 8), True,
+                                        "dso_optimization_windows"),
+        "abl04_fewer_depth_planes.yaml": ((48, 4, 4), True,
+                                          "dso_optimization_windows"),
+    }
+    for name, (dn, va, ext) in expect.items():
+        c = cfg.default()
+        cfg.merge_from_file(c, os.path.join(base, name))
+        assert tuple(c["MODEL.DEPTH_NUM"]) == dn, name
+        assert c["MODEL.VIEW_AGGREGATION"] is va, name
+        assert c["DATA.TUPLES_EXT"] == ext, name

@@ -63,7 +63,9 @@ def test_trained_golden_bf16_delta():
 
     pack_path, variables = _load_unit("tandem_512x320")
     pack = np.load(pack_path)
-    model = CvaMVSNet(view_aggregation=True, dtype=jnp.bfloat16)
+    from tandem_tpu.cli.tandem_export import load_model_config
+    model = CvaMVSNet(**load_model_config(os.path.dirname(pack_path)),
+                      dtype=jnp.bfloat16)
 
     @jax.jit
     def forward(variables, image, K1, K2, K3, c2w, dmin, dmax, disc):
