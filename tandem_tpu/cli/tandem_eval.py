@@ -30,6 +30,9 @@ parser.add_argument("--pose-ext", default="gt")
 parser.add_argument("--tuples-ext", default="dso_optimization_windows")
 parser.add_argument("--seed", type=int, default=1)
 parser.add_argument("--view-aggregation", action="store_true", default=True)
+parser.add_argument("--depth-num", default="48,32,8",
+                    help="per-stage depth planes; 48,4,4 = the deployed "
+                         "abl04 architecture")
 parser.add_argument("--num-save-images", type=int, default=4)
 parser.add_argument("--limit", type=int, default=0, help="eval first N only")
 parser.add_argument("--dtype", default="float32",
@@ -76,7 +79,9 @@ def main(args):
     from ..models.metrics import eval_errors
     from ..train.checkpoint import load_any
 
-    model = CvaMVSNet(view_aggregation=args.view_aggregation,
+    model = CvaMVSNet(depth_num=tuple(int(x) for x in
+                                      str(args.depth_num).split(",")),
+                      view_aggregation=args.view_aggregation,
                       dtype=jnp.bfloat16 if args.dtype == "bfloat16"
                       else jnp.float32)
     variables = load_any(args.ckpt,

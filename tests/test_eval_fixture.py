@@ -8,13 +8,16 @@ CVA-MVSNet -> eval_errors -> reference-format .txt report — on committed
 data, with the reference's own trained weights (recovered from
 tandem/exported/tandem_512x320/model.pt).
 
-The accuracy CONTRACT here is cross-framework parity, not absolute quality:
-the reference eager torch model (same weights, same fixture tuple, f32 CPU)
-measures the REF_* values below — synthetic content is out-of-distribution
-for the fine cascade stages, and the reference degrades on it exactly like
-we do (stage1 ~0.009, stage2 ~0.18, stage3 ~0.14). Our eval must reproduce
-those numbers; drift means the cascade diverged from the reference.
-Re-derive REF_* with the snippet in tests/fixtures/README.md.
+The accuracy CONTRACT here is cross-framework parity: the reference eager
+torch model (same weights, same fixture tuple, f32 CPU) measures the REF_*
+values below, at BOTH architectures: the (48,32,8) training default and the
+DEPLOYED abl04 (48,4,4) — which the trained weights were actually trained
+for, scoring abs_rel < 0.01 at every stage even on this synthetic scene.
+(The round-2 observation that "fine stages degrade on synthetic content"
+was an artifact of running the trained checkpoint at the wrong
+architecture.) Our eval must reproduce those numbers; drift means the
+cascade diverged from the reference. Re-derive REF_* with the snippet in
+tests/fixtures/README.md.
 """
 
 import os
@@ -30,8 +33,12 @@ FIXTURE = os.path.join(REPO, "tests", "fixtures", "replica_mini")
 WEIGHTS = os.path.join(REPO, "exported", "tandem_512x320",
                        "model_variables.pkl")
 
-# Reference eager torch model on fixture tuple 0 (f32 CPU, 2026-08-18):
+# Reference eager torch model on fixture tuple 0 (f32 CPU, 2026-08-18),
+# at the (48,32,8) training-default architecture:
 REF_ABS_REL = {"stage1": 0.008706, "stage2": 0.177201, "stage3": 0.144266}
+# Same weights at the DEPLOYED abl04 (48,4,4) architecture (2026-08-19):
+REF_ABS_REL_ABL04 = {"stage1": 0.008706, "stage2": 0.006343,
+                     "stage3": 0.006183}
 TOL = 0.01
 
 
@@ -70,6 +77,33 @@ def test_eval_chain_on_fixture(tmp_path):
     assert float(errors["stage1"]["abs_rel"]) < 0.02
     # d-metrics land where the reference lands (d2/d3 near-perfect).
     assert float(errors["stage3"]["d2"]) > 0.99
+
+
+@pytest.mark.slow
+def test_eval_chain_abl04_deployed_architecture(tmp_path):
+    """Same chain at the DEPLOYED abl04 (48,4,4) architecture — the one
+    the shipped weights were trained for: abs_rel must match the torch
+    reference AND be absolutely good (<0.01 per stage, the Replica-val
+    regime of abl04_fewer_depth_planes.txt)."""
+    if not os.path.exists(WEIGHTS):
+        pytest.skip("trained unit not built (scripts/make_trained_export.py)")
+    from tandem_tpu.cli.tandem_eval import main, parser
+
+    ckpt = str(tmp_path / "abl04.pkl")
+    with open(WEIGHTS, "rb") as src, open(ckpt, "wb") as dst:
+        dst.write(src.read())
+    args = parser.parse_args([
+        "--ckpt", ckpt, "--data-root", FIXTURE, "--split", "val",
+        "--width", "512", "--height", "320", "--limit", "1",
+        "--depth-num", "48,4,4"])
+    main(args)
+    with open(str(tmp_path / "abl04.pkl.pkl"), "rb") as f:
+        errors = pickle.load(f)
+    for stage, ref in REF_ABS_REL_ABL04.items():
+        ours = float(errors[stage]["abs_rel"])
+        assert abs(ours - ref) < TOL, (
+            f"{stage} abs_rel {ours:.4f} vs reference {ref:.4f}")
+        assert ours < 0.02, f"{stage} absolute accuracy out of regime"
 
 
 def test_fixture_files_complete():
