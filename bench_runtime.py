@@ -80,7 +80,9 @@ def main(n_frames=60):
           f"backend_calls={backend.call_num}")
     for name in sorted(timer.intervals):
         v = timer.intervals[name][5:] or timer.intervals[name]
-        print(f"  {name}: steady-mean {np.mean(v):.0f} ms "
+        # median: lazy compiles land anywhere in the first half of the run
+        # (per-shape), so a trimmed mean still reads compile time as cost
+        print(f"  {name}: steady-median {np.median(v):.0f} ms "
               f"x{len(timer.intervals[name])}")
     print(f"END-TO-END steady: {1000 / med:.2f} FPS ({med:.1f} ms/frame) "
           f"vs reference ~21 FPS (desktop GPU; see docs/PERF.md for the "
