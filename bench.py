@@ -1,7 +1,7 @@
 """Benchmark: end-to-end keyframe pipeline throughput on one TPU chip.
 
 Measures the full per-keyframe device schedule of the flagship runtime
-configuration (abl04: CVA-MVSNet 7 views, 640x480, depth planes (48, 32, 8),
+configuration (abl04: CVA-MVSNet 7 views, 640x480, depth planes (48, 4, 4),
 view aggregation, 10% edge filter) PLUS the TSDF fusion the reference runs
 per keyframe (allocate + integrate + render for tracking feedback) and a
 dense coarse-tracker frame step. Baseline: the reference's 21 FPS end-to-end

@@ -37,6 +37,17 @@ from ..utils.timer import Timer
 from .io import write_poses_mat, write_result_tum
 
 
+def reference_idepth_quantile(idepth: np.ndarray, fraction: float) -> float:
+    """Exact get_idepth_quantile arithmetic (tandem_backend.cpp:354-361):
+    nth_element the idepths ASCENDING and return the element at index
+    int(fraction * n).  The caller reciprocates it — fraction=0.2 therefore
+    selects a far point (small idepth) and 1/q is a large depth (~P80)."""
+    idv = np.asarray(idepth, dtype=np.float32)
+    k = int(fraction * float(len(idv)))
+    k = min(max(k, 0), len(idv) - 1)
+    return float(np.partition(idv, k)[k])
+
+
 def _np_rigid_inverse(T: np.ndarray) -> np.ndarray:
     """Host-side 4x4 rigid-transform inverse. Pure numpy on purpose: eager
     JAX ops pulled to numpy flip remote backends into a slow per-dispatch
@@ -729,13 +740,20 @@ class FullSystem:
             else:
                 self.n_dropped_kf += 1
                 return
-        # Depth range: [0.01, 3 x quantile_0.2(depth)] from tracker idepths
-        # (FullSystem.cpp:1192-1193)
+        # Depth range: [0.01, 3 / idepth_quantile(0.2)] from tracker idepths.
+        # get_idepth_quantile (tandem_backend.cpp:354-361) nth_element-sorts
+        # the IDEPTHS ascending, takes the element at index int(0.2*n) — a
+        # SMALL idepth, i.e. a FAR point — and returns its reciprocal;
+        # FullSystem.cpp:1179,1193 passes 3x that as depth_max.  So
+        # dmax = 3 x ~P80(depth), NOT 3 x P20(depth): the sweep range must
+        # reach past most of the visible geometry.  (Round-3 shipped the
+        # inversion — 0.8-idepth-quantile — clipping the plane sweep 3-4x
+        # short; test_full_system.py::test_depth_range_quantile pins the
+        # reference arithmetic.)
         idep = np.asarray(self.ba_state.pt_idepth)
         idv = idep[np.asarray(self.ba_state.pt_valid)]
         if len(idv) > 0:
-            q = np.quantile(idv, 0.8)   # idepth 0.8-quantile ~ depth 0.2-q
-            dmax = 3.0 / max(q, 1e-3)
+            dmax = 3.0 / max(reference_idepth_quantile(idv, 0.2), 1e-3)
         else:
             dmax = 10.0
         self.backend.call(
@@ -796,6 +814,12 @@ class FullSystem:
             self._dvo_ref = build_rgbd_pyramid(
                 kf.image, jnp.asarray(kf.sensor_depth), *self.K,
                 num_levels=2)
+        elif self.opt.rgbd:
+            # A keyframe without sensor depth cannot serve as a dvo
+            # reference; drop the old pyramid so dense_match never runs
+            # against a stale reference while tracker_ref has moved on —
+            # the track path falls back to track_frame instead.
+            self._dvo_ref = None
 
     def _trace_on_frame(self, img, c2w):
         """traceNewCoarse: update immature points of active KFs against the

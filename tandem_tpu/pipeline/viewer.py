@@ -333,8 +333,12 @@ class Viewer3DWrapper(Output3DWrapper):
                     self.cam.elevation = float(np.clip(
                         self.cam.elevation + dy * 0.008, -1.5, 1.5))
             elif event == cv2.EVENT_MOUSEWHEEL:
+                # HighGUI packs the wheel delta into the high bits of
+                # `flags`; the raw sign is platform-dependent —
+                # getMouseWheelDelta extracts it portably.
+                delta = cv2.getMouseWheelDelta(flags)
                 with self.lock:
-                    self.cam.radius *= 0.9 if flags > 0 else 1.1
+                    self.cam.radius *= 0.9 if delta > 0 else 1.1
 
         cv2.setMouseCallback("tandem-tpu 3D", on_mouse)
         toggles = {ord("f"): "follow", ord("t"): "show_trajectory",
@@ -347,7 +351,9 @@ class Viewer3DWrapper(Output3DWrapper):
             if key in (27, ord("q")):
                 break
             if key in toggles:
-                setattr(self, toggles[key], not getattr(self, toggles[key]))
+                with self.lock:
+                    setattr(self, toggles[key],
+                            not getattr(self, toggles[key]))
         cv2.destroyWindow("tandem-tpu 3D")
 
     # convenience for tests / offline use

@@ -37,11 +37,22 @@ TPU idiom shifts (behaviour preserved):
 - the do/while with Revertable<SE3> state becomes a lax.while_loop carrying
   (estimate, previous estimate, lambda, error, precision).
 
-Deviation (documented): computeCompleteDataLogLikelihood accumulates
-log(prod(1 + 0.2 d_i)) in groups of 50 and DROPS the final partial group
-(dense_tracking_impl.cpp:417-427 only flushes at c%50==0); we sum every
-term. The dropped tail is a data-ordering artifact, not semantics; it only
-perturbs the accept test by O(50/n) of the total.
+Deviations (documented):
+- computeCompleteDataLogLikelihood accumulates log(prod(1 + 0.2 d_i)) in
+  groups of 50 and DROPS the final partial group (dense_tracking_impl.cpp:
+  417-427 only flushes at c%50==0); we sum every term. The dropped tail is a
+  data-ordering artifact, not semantics; it only perturbs the accept test by
+  O(50/n) of the total.
+- Cross-level increment carry-over: the reference starts each pyramid level
+  with x = inc.log() where inc is the PREVIOUS level's last solved —
+  possibly LM-rejected — increment (dense_tracking.cpp:190,~260), so a
+  leftover rejected step is re-applied once at the next level. dense_match
+  restarts every level from x0 = log(accumulated T) instead (the rejected
+  increment is discarded, matching the Revertable<Sophus::SE3> revert of the
+  ESTIMATE but not the warm-started inc). The shipped runtime path
+  (on_level=1, a single level) is identical either way; the full
+  coarse-to-fine schedule can differ by at most one extra trial step per
+  level boundary.
 
 The reference runs this at on_level=1 only (trackNewestCoarseDense,
 CoarseTracker.cpp:939-964, with Config FirstLevel=3/LastLevel=1 overridden
