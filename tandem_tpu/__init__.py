@@ -19,6 +19,20 @@ __version__ = "0.1.0"
 
 import os as _os
 
+if not _os.environ.get("TANDEM_NO_JIT_CACHE"):
+    # Persistent compilation cache for every tandem entry point (CLIs,
+    # benches, tests all share it): the 640x480 cascade costs minutes to
+    # hours of XLA time per signature; cold-compiling it per process is
+    # the single largest contributor to CLI wall time. Same default dir
+    # as tests/conftest.py and utils/benchmarking.force_real_timing.
+    import jax as _jax_cache
+
+    _jax_cache.config.update(
+        "jax_compilation_cache_dir",
+        _os.environ.get("TANDEM_JIT_CACHE", "/tmp/tandem_tpu_jit_cache"))
+    _jax_cache.config.update("jax_persistent_cache_min_compile_time_secs",
+                             1.0)
+
 if _os.environ.get("TANDEM_PLATFORM"):
     # Force the JAX platform for every tandem CLI/entry point. A plain
     # ``JAX_PLATFORMS=cpu`` env var is not enough on managed hosts whose
