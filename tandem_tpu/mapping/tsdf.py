@@ -174,31 +174,54 @@ def allocate_blocks(cfg: TsdfConfig, vol: TsdfVolume, depth, K, cam_to_world):
     bvalid = jnp.concatenate(block_valid)
 
     flat, in_arena = _table_index(cfg, blocks)
-    ok = bvalid & in_arena
+    T3 = cfg.table_dim ** 3
 
-    touched = jnp.zeros((cfg.table_dim ** 3,), jnp.bool_)
-    touched = touched.at[jnp.where(ok, flat, cfg.table_dim ** 3)].set(
-        True, mode="drop")
+    # Sort-dedup-first design (round-4 rewrite). The natural formulation —
+    # scatter `touched` over the 4M-entry table, then per-sample gathers of
+    # the table — costs ~55 ms/KF on v5e: TPU scatters/gathers pay a
+    # per-ROW cost (~7-10 ns into a 16 MB table, experiments/
+    # bench_fusion_breakdown.py) and the sample set is 1.5M rows while the
+    # information content is only ~5-10k unique blocks. A 1.5M-key sort is
+    # ~2 ms on the same chip, so: sort the flat block ids, mark first
+    # occurrences, compact the unique ids to the front with a second sort,
+    # and do ALL table reads/writes on the 64k-row compacted set. Block
+    # coordinates are DECODED from the table index arithmetically — no
+    # gather at all. Measured 69.6 -> ~6 ms (docs/PERF.md).
+    key = jnp.where(bvalid & in_arena, flat, T3)
+    s = jnp.sort(key)
+    first = jnp.concatenate(
+        [s[:1] < T3, (s[1:] != s[:-1]) & (s[1:] < T3)])
+    n_first_total = jnp.sum(first.astype(jnp.int32))
 
-    new = touched & (vol.page_table < 0)
+    # Compact unique ids to the front. U bounds the NEW blocks one scan can
+    # introduce; a 640x480 band touching >64k new blocks (~420 m^2 of new
+    # surface in one frame) would exhaust the pool anyway — the overflow is
+    # counted into n_dropped below (conservatively: overflow uniques are
+    # counted as wanted even if some were already allocated).
+    U = min(cfg.pool_size, 1 << 16)
+    uniq = jnp.sort(jnp.where(first, s, T3))[:U]
+    valid_u = uniq < T3
+
+    old = vol.page_table[jnp.clip(uniq, 0, T3 - 1)]     # U-row gather
+    new = valid_u & (old < 0)
     order = jnp.cumsum(new.astype(jnp.int32))
     slot = vol.n_allocated + order - 1          # pool slot per new block
     can_alloc = new & (slot < cfg.pool_size)
 
-    page_table = jnp.where(can_alloc, slot, vol.page_table)
+    page_table = vol.page_table.at[
+        jnp.where(can_alloc, uniq, T3)].set(slot, mode="drop")
 
-    # Inverse map: scatter block coords into newly assigned slots. Route the
-    # scatter through the SAMPLES (0.9M rows) instead of the full table
-    # (4M rows) — each sample looks up its block's new slot and writes its
-    # own integer block coordinate there (duplicates write identical values).
-    sample_slot = jnp.where(
-        can_alloc[jnp.clip(flat, 0, cfg.table_dim ** 3 - 1)] & ok,
-        page_table[jnp.clip(flat, 0, cfg.table_dim ** 3 - 1)],
-        cfg.pool_size)  # OOB -> dropped
-    block_coords = vol.block_coords.at[sample_slot].set(blocks, mode="drop")
+    # Inverse map: decode signed block coords from the flat table index
+    # (the exact inverse of _table_index) and scatter U rows into the pool.
+    T = cfg.table_dim
+    bc = (jnp.stack([uniq // (T * T), (uniq // T) % T, uniq % T], -1)
+          .astype(jnp.int32) - T // 2)
+    block_coords = vol.block_coords.at[
+        jnp.where(can_alloc, slot, cfg.pool_size)].set(bc, mode="drop")
 
     n_new = jnp.sum(can_alloc.astype(jnp.int32))
-    n_want = jnp.sum(new.astype(jnp.int32))
+    n_want = jnp.sum(new.astype(jnp.int32)) + jnp.maximum(
+        n_first_total - U, 0)
     return vol.replace(page_table=page_table, block_coords=block_coords,
                        n_allocated=vol.n_allocated + n_new,
                        n_dropped=vol.n_dropped + (n_want - n_new))

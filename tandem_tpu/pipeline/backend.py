@@ -148,8 +148,18 @@ class TandemBackend:
             # Frustum-culled integrate: device cost scales with the VISIBLE
             # surface, not everything ever allocated (the reference's
             # per-hash-entry frustum early-out, tsdf_volume.cu:436-).
-            self.volume = integrate_culled(self.cfg, self.volume, depth, rgb,
-                                           Kj, pose, slots, n_vis)
+            # ADAPTIVE: when most of the map is in view the contiguous
+            # full-pool walk wins — the culled path's slot indirection
+            # (gather+scatter of block rows instead of dynamic slices)
+            # costs ~10 ms/KF at 6k blocks (experiments/
+            # bench_fusion_breakdown.py: culled 25.5 ms vs full 15.4) —
+            # both are exact (culled==full contract, test_tsdf).
+            if n_vis >= 0.7 * self._n_alloc:
+                self.volume = integrate(self.cfg, self.volume, depth, rgb,
+                                        Kj, pose, n_allocated=self._n_alloc)
+            else:
+                self.volume = integrate_culled(self.cfg, self.volume, depth,
+                                               rgb, Kj, pose, slots, n_vis)
             rdepth = render_depth_splat(self.cfg, self.volume, Kj,
                                         jnp.asarray(next_ref_c2w),
                                         self.H, self.W,
