@@ -132,3 +132,33 @@ def test_sam_perturb():
     p2 = sam_perturb(params, grads, rho=0.05)
     step = np.asarray(p2["w"]) - 1.0
     np.testing.assert_allclose(np.linalg.norm(step), 0.05, rtol=1e-5)
+
+
+def test_calib_convert_to_txt(tmp_path):
+    """Basalt kb4 calibration.json -> DSO EquiDistant camera.txt
+    (scripts/calib_convert_to_txt.py; reference script parity: half-pixel
+    center rescale 1280x800 -> 512x320 and the 4-line crop format)."""
+    import json
+    import sys
+    sys.path.insert(0, os.path.join(os.path.dirname(__file__), "..",
+                                    "scripts"))
+    from calib_convert_to_txt import convert
+
+    calib = {"value0": {"intrinsics": [{
+        "camera_type": "kb4",
+        "intrinsics": {"fx": 640.0, "fy": 640.0, "cx": 639.5, "cy": 399.5,
+                       "k1": 0.1, "k2": -0.02, "k3": 0.003, "k4": -0.0004},
+    }]}}
+    (tmp_path / "calibration.json").write_text(json.dumps(calib))
+    out = convert(str(tmp_path))
+    lines = open(out).read().splitlines()
+    assert len(lines) == 4 and lines[2] == "crop"
+    tok = lines[0].split()
+    assert tok[0] == "EquiDistant"
+    fx, fy, cx, cy = map(float, tok[1:5])
+    # fx*512/1280, fy*320/800, (cx+.5)*scale-.5
+    assert abs(fx - 256.0) < 1e-9 and abs(fy - 256.0) < 1e-9
+    assert abs(cx - ((639.5 + .5) * 0.4 - .5)) < 1e-9
+    assert abs(cy - ((399.5 + .5) * 0.4 - .5)) < 1e-9
+    assert lines[1] == "512 320" and lines[3] == "512 320"
+    assert [float(x) for x in tok[5:]] == [0.1, -0.02, 0.003, -0.0004]
