@@ -245,18 +245,48 @@ class FullSystem:
                 self.opt.rgbd))  # one bundled device->host transfer
         energy = float(out["energy"])
 
-        # Multi-hypothesis re-tracking when the motion model fails
-        # (FullSystem.cpp:449-529 rotation-perturbation retry list).
+        # Multi-hypothesis re-tracking (trackNewCoarse retry ladder,
+        # FullSystem.cpp:449-529): triggered not just on outright failure
+        # but whenever the achieved energy exceeds setting_reTrackThreshold
+        # (1.5) x firstCoarseRMSE — the energy of the first frame tracked on
+        # this reference. This is what breaks motion-model lock-in: one bad
+        # pose makes the constant-velocity prediction bad for the NEXT
+        # frame, which converges into an offset local minimum with a
+        # plausible (but elevated) energy, and without the 1.5x gate the
+        # tracker oscillates between two attractors indefinitely (observed
+        # as a period-2 ~3 cm pose zigzag on the trajectory fixture).
         bad = (not np.isfinite(energy)
                or float(out["valid_frac"]) < 0.3
+               or (self._first_coarse_rmse is not None
+                   and energy > 1.5 * self._first_coarse_rmse)
                or (self._last_energy is not None
                    and energy > 8.0 * max(self._last_energy, 1.0)))
         if bad:
             from ..tracking.coarse_tracker import (rotation_perturbations,
                                                    track_frame_multi)
+            inv_ref = _np_rigid_inverse(np.asarray(self.ref_kf.c2w))
+            # DSO's candidate order: const motion (= T_init), double, half,
+            # zero motion (stay at the last pose), zero motion from the KF,
+            # then the 26 rotation perturbations on const motion.
+            cands = [T_init]
+            if len(self.all_poses) >= 2:
+                import cv2
+                rel = self.last_c2w @ _np_rigid_inverse(self.prev_c2w)
+                rv = cv2.Rodrigues(rel[:3, :3].astype(np.float64))[0]
+                half = np.eye(4)
+                half[:3, :3] = cv2.Rodrigues(0.5 * rv)[0]
+                half[:3, 3] = 0.5 * rel[:3, 3]
+                cands.append(np.linalg.inv(rel @ rel @ self.last_c2w)
+                             @ np.asarray(self.ref_kf.c2w))      # double
+                cands.append(np.linalg.inv(half @ self.last_c2w)
+                             @ np.asarray(self.ref_kf.c2w))      # half
+            cands.append(np.linalg.inv(self.last_c2w)
+                         @ np.asarray(self.ref_kf.c2w))          # zero motion
+            cands.append(np.eye(4))                              # at the KF
             perts = rotation_perturbations()
-            T_cands = jnp.asarray(
-                np.einsum("nij,jk->nik", perts, T_init).astype(np.float32))
+            T_cands = jnp.asarray(np.concatenate(
+                [np.stack(cands),
+                 np.einsum("nij,jk->nik", perts, T_init)]).astype(np.float32))
             out = jax.device_get(track_frame_multi(
                 self.tracker_ref, img, T_cands, jnp.array([1.0, 0.0]),
                 self.opt.rgbd))
@@ -635,6 +665,13 @@ class FullSystem:
         n_valid_pre_act = (int(jax.device_get(self.ba_state.pt_valid).sum())
                            if self.logger is not None else 0)
         if not from_init:
+            # Free pool slots of points that left the field of view BEFORE
+            # activating new ones (DSO runs flagPointsForRemoval after
+            # activation; with a fixed pool the drop must come first so the
+            # freed slots are usable this keyframe — documented deviation).
+            self.ba_state = _drop_oob_points(
+                self.ba_state, jnp.asarray(c2w.astype(np.float32)),
+                self.K, self.H, self.W)
             tgt_c2w = jnp.asarray(c2w.astype(np.float32))
             for host_kf in self.kf_of_slot:
                 if (host_kf is None or host_kf is kf
@@ -663,7 +700,7 @@ class FullSystem:
         # FullSystem.cpp:1344,1373)
         self.ba_state, energy = ba_iterate(
             self.ba_state, self.slot_images, self.K,
-            iters=self.opt.ba_iters)
+            iters=self.opt.ba_iters, newest_slot=kf.slot)
         n_valid_post_ba = (int(jax.device_get(self.ba_state.pt_valid).sum())
                            if self.logger is not None else 0)
         self.ba_state = remove_outliers(
@@ -950,6 +987,38 @@ def _insert_points_jit(state: BAState, slot, uv, idepth, ok, image):
 
 
 @partial(jax.jit, static_argnums=(2, 3, 4))
+def _drop_oob_points(state: BAState, newest_c2w, K, H: int, W: int):
+    """flagPointsForRemoval parity (FullSystem.cpp:1390- / isOOB): points
+    that no longer project into the NEWEST keyframe (or fall behind its
+    camera) leave the active set — DSO marginalizes/drops them each
+    makeKeyframe. Without this the fixed point pool saturates the moment
+    the scene sweeps (first observed on the trajectory fixture: all 2048
+    slots full by the 4th KF, every later KF contributing ZERO points, the
+    tracking reference degrading into a 6 cm pose zigzag and a
+    KF-every-frame cascade). The reference folds well-observed OOB points
+    into the prior before dropping; here they are dropped outright — the
+    window poses they constrained remain constrained by the surviving
+    in-view points and the frame-marginalization prior."""
+    fx, fy, cx, cy = K
+    ray = jnp.stack([(state.pt_uv[:, 0] - cx) / fx,
+                     (state.pt_uv[:, 1] - cy) / fy,
+                     jnp.ones_like(state.pt_uv[:, 0])], -1)
+    pts_h = ray / jnp.maximum(state.pt_idepth[:, None], 1e-6)
+    poses = state.poses[state.pt_frame]
+    pts_w = jnp.einsum("nij,nj->ni", poses[:, :3, :3], pts_h) \
+        + poses[:, :3, 3]
+    R = newest_c2w[:3, :3].T
+    t = -R @ newest_c2w[:3, 3]
+    pts_r = pts_w @ R.T + t
+    z = jnp.maximum(pts_r[:, 2], 1e-6)
+    u = fx * pts_r[:, 0] / z + cx
+    v = fy * pts_r[:, 1] / z + cy
+    visible = ((pts_r[:, 2] > 0.01) & (u >= 1.0) & (u <= W - 2.0)
+               & (v >= 1.0) & (v <= H - 2.0))
+    return state._replace(pt_valid=state.pt_valid & visible)
+
+
+@partial(jax.jit, static_argnums=(2, 3, 4))
 def _project_ba_points(state: BAState, ref_c2w, K, H: int, W: int):
     """Scatter active BA points into level-0 idepth/weight maps of the new
     reference keyframe (device-side makeCoarseDepthL0 input)."""
@@ -971,8 +1040,12 @@ def _project_ba_points(state: BAState, ref_c2w, K, H: int, W: int):
     v = jnp.round(fy * pts_r[:, 1] / zs + cy).astype(jnp.int32)
     good = good & (u >= 0) & (u < W) & (v >= 0) & (v < H)
     flat = jnp.where(good, v * W + u, H * W)
-    idepth = jnp.zeros(H * W).at[flat].set(1.0 / zs, mode="drop")
-    weight = jnp.zeros(H * W).at[flat].set(1.0, mode="drop")
+    # Near-wins on pixel collision: when an occluded far point and the
+    # occluder land on the same pixel, keep the LARGER idepth (nearest
+    # surface) instead of scatter-order luck — the tracker must never warp
+    # a foreground pixel with background depth.
+    idepth = jnp.zeros(H * W).at[flat].max(1.0 / zs, mode="drop")
+    weight = jnp.zeros(H * W).at[flat].max(1.0, mode="drop")
     return idepth.reshape(H, W), weight.reshape(H, W)
 
 

@@ -50,6 +50,9 @@ PATTERN = np.array([[0, -2], [-1, -1], [1, -1], [-2, 0],
                     [0, 0], [2, 0], [-1, 1], [0, 2]], np.float32)
 
 HUBER_TH = 9.0
+# setting_outlierTHSumComponent = 50*50 (settings.cpp:85): gradient-based
+# residual downweighting constant.
+OUTLIER_TH_SUM_COMPONENT = 50.0 ** 2
 
 
 class BAState(NamedTuple):
@@ -285,7 +288,7 @@ def _flat_trilerp(stacked, px, py, f_idx, H, W):
     return jnp.stack(outs, 1)                          # (N, F, 8, C)
 
 
-def _system_terms(state: BAState, images, K):
+def _system_terms(state: BAState, images, K, newest_slot=None):
     """Residuals + analytic Jacobians for all (point, target) pairs.
 
     DSO-style hand-derived Jacobians (the reference's linearize residual,
@@ -295,9 +298,13 @@ def _system_terms(state: BAState, images, K):
     than jacfwd-per-pair on TPU.
 
     :param images: (F, H, W) level-0 intensities
+    :param newest_slot: window slot of the newest keyframe — source of the
+        adaptive pair-outlier threshold (setNewFrameEnergyTH); None falls
+        back to the quantile over ALL active pairs.
     :return: r (N, F, 8), J_frames (N, F, 8, 16) wrt [host(8), target(8)]
         with per-slot layout [xi(6), a, b], J_id (N, F, 8), J_K (N, F, 8, 4)
-        wrt (fx, fy, cx, cy), w (N, F, 8), active (N, F)
+        wrt (fx, fy, cx, cy), w (N, F, 8), active (N, F), e_total (scalar
+        huber energy with outlier pairs clamped at the threshold)
     """
     # Effective calibration = boot K + the solve's calib correction (DSO
     # CalibHessian value_scaled = initial + step).
@@ -408,8 +415,40 @@ def _system_terms(state: BAState, images, K):
               & (state.pt_frame[:, None] != tgt[None, :]))
     absr = jnp.abs(r)
     hw = jnp.where(absr < HUBER_TH, 1.0, HUBER_TH / jnp.maximum(absr, 1e-9))
-    w = hw * ok.astype(jnp.float32) * active[..., None].astype(jnp.float32)
-    return r, Jf, Ji, J_K, w, active
+    # Gradient-dependent downweight (Residuals.cpp:203):
+    # w = sqrt(c^2 / (c^2 + |grad I_t|^2)), c = 50 — high-gradient samples
+    # (where occlusion boundaries and interpolation error live) count less.
+    wg = jnp.sqrt(OUTLIER_TH_SUM_COMPONENT
+                  / (OUTLIER_TH_SUM_COMPONENT + gx * gx + gy * gy))
+    mask = ok.astype(jnp.float32) * active[..., None].astype(jnp.float32)
+
+    # Per-(point, target) PAIR outlier gate (Residuals.cpp:262-266): the
+    # pair's huber energy  sum_p wg^2 hw (2-hw) r^2  is compared to an
+    # adaptive frame energy threshold and OUTLIER pairs are cut from the
+    # Hessian entirely (their energy clamps at the threshold). This is the
+    # mechanism that keeps occluded observations — a point passing behind
+    # foreground geometry in SOME target frames — from biasing the window:
+    # Huber alone still pulls with |r|*k forever, the gate removes the pair.
+    e_px = wg * wg * hw * (2.0 - hw) * r * r * mask
+    e_pair = jnp.sum(e_px, axis=2)                          # (N, F)
+    pair_active = active & jnp.any(ok, axis=2)
+    # Adaptive threshold (setNewFrameEnergyTH, FullSystemOptimize.cpp:93-
+    # 131): nth = sqrt(0.7-quantile of pair energies into the NEWEST frame),
+    # TH = (0.5*26 + 0.5*1.5*nth)^2. Deviation: one global TH instead of a
+    # per-frame max(host, target) — the window shares one capture regime.
+    sel = pair_active & ((tgt[None, :] == newest_slot) if newest_slot
+                         is not None else True)
+    vals = jnp.where(sel, e_pair, jnp.nan)
+    nth = jnp.sqrt(jnp.maximum(jnp.nanquantile(vals, 0.7), 0.0))
+    th = jnp.square(0.5 * 26.0 + 0.5 * 1.5 * nth)
+    th = jnp.where(jnp.isfinite(th), th, 144.0 * 8.0)
+    inlier = (e_pair <= th)[..., None].astype(jnp.float32)
+
+    w = wg * hw * mask * inlier
+    # Total energy with outlier pairs clamped at TH (DSO's accept/reject
+    # quantity: linearizeAll sums energyLeft, outliers contribute TH).
+    e_total = jnp.sum(jnp.where(pair_active, jnp.minimum(e_pair, th), 0.0))
+    return r, Jf, Ji, J_K, w, active, e_total
 
 
 def _assemble(state: BAState, r, Jf, Ji, J_K, w):
@@ -445,8 +484,7 @@ def _total_energy(state: BAState, images, K):
     """Residual energy + marginalization-prior energy at the current
     estimate (the quantity DSO's LM accept/reject compares,
     FullSystemOptimize.cpp:470-545 + calcMEnergy)."""
-    r, Jf, Ji, J_K, w, active = _system_terms(state, images, K)
-    e_res = jnp.sum(w * r * r)
+    r, Jf, Ji, J_K, w, active, e_res = _system_terms(state, images, K)
     d = _prior_delta(state)
     e_pr = 2.0 * jnp.dot(state.bm, d) + jnp.dot(d, state.Hm @ d)
     return e_res + e_pr
@@ -454,7 +492,7 @@ def _total_energy(state: BAState, images, K):
 
 @partial(jax.jit, static_argnums=(3,))
 def ba_iterate(state: BAState, images, K, iters: int = 6,
-               idepth_prior: float = 1e-1):
+               idepth_prior: float = 1e-1, newest_slot=None):
     """Windowed LM with energy-based accept/reject.
 
     Parity target: FullSystemOptimize.cpp:470-545 — solve, apply, compare
@@ -480,8 +518,9 @@ def ba_iterate(state: BAState, images, K, iters: int = 6,
         return 2.0 * jnp.dot(cur.bm, d) + jnp.dot(d, cur.Hm @ d)
 
     def system_of(cur):
-        r, Jf, Ji, J_K, w, _ = _system_terms(cur, images, K)
-        H_ff, b_f, H_pp, H_fp, b_p, e_res = _assemble(cur, r, Jf, Ji, J_K, w)
+        r, Jf, Ji, J_K, w, _, e_res = _system_terms(cur, images, K,
+                                                    newest_slot)
+        H_ff, b_f, H_pp, H_fp, b_p, _ = _assemble(cur, r, Jf, Ji, J_K, w)
         return H_ff, b_f, H_pp, H_fp, b_p, e_res + prior_energy(cur)
 
     # The residual system of the ACCEPTED state rides in the loop carry so
@@ -573,7 +612,7 @@ def ba_log_system(state: BAState, images, K):
         with P = 8F + 4.
     """
     F = state.poses.shape[0]
-    r, Jf, Ji, J_K, w, active = _system_terms(state, images, K)
+    r, Jf, Ji, J_K, w, active, _ = _system_terms(state, images, K)
     H_ff, b_f, H_pp, H_fp, b_p, _ = _assemble(state, r, Jf, Ji, J_K, w)
     d = _prior_delta(state)
     H = H_ff + state.Hm
@@ -594,8 +633,10 @@ def remove_outliers(state: BAState, images, K,
                     energy_threshold: float = 12.0 ** 2):
     """Deactivate points whose mean per-pixel residual energy across their
     active observations exceeds the threshold (FullSystem removeOutliers /
-    flagPointsForRemoval semantics)."""
-    r, Jf, Ji, J_K, w, active = _system_terms(state, images, K)
+    flagPointsForRemoval semantics). Pairs cut by the per-pair outlier gate
+    have w == 0, so a point whose observations are ALL outliers loses its
+    n_obs and is dropped (DSO drops points with no IN residuals)."""
+    r, Jf, Ji, J_K, w, active, _ = _system_terms(state, images, K)
     ok = (w > 0).astype(jnp.float32)
     e = jnp.sum(r * r * ok, axis=(1, 2)) / jnp.maximum(
         jnp.sum(ok, axis=(1, 2)), 1.0)
@@ -619,7 +660,7 @@ def marginalize_frame(state: BAState, images, K, frame_idx):
     F = state.poses.shape[0]
     P = F * 8 + 4
 
-    r, Jf, Ji, J_K, w, active = _system_terms(state, images, K)
+    r, Jf, Ji, J_K, w, active, _ = _system_terms(state, images, K)
     # Keep only residual pairs that involve the marginalized frame.
     involved = ((state.pt_frame[:, None] == frame_idx)
                 | (jnp.arange(F)[None, :] == frame_idx))       # (N, F)

@@ -33,6 +33,17 @@ STATUS_SKIPPED = 4
 
 N_SAMPLES = 32     # discrete epipolar samples per trace
 GN_ITERS = 3
+# Pixel-space match uncertainty mapped back to the idepth interval each
+# trace (DSO errorInPixel, ImmaturePoint.cpp traceOn: interval = match
+# +- errorInPixel px along the epipolar line). This is what makes maturity
+# BASELINE-AWARE: a 1.5 px epipolar segment maps +-0.75 px to a huge idepth
+# range, so small-parallax candidates stay immature instead of "converging"
+# by the fixed-fraction shrink of the old design (which activated points
+# whose idepth was constrained to +-50% after two 1 cm-baseline traces).
+ERROR_IN_PIXEL = 0.75
+MIN_TRACE_QUALITY = 3.0        # setting_minTraceQuality (settings.cpp)
+MIN_TRACE_TEST_DIST = 2.0      # px; setting_minTraceTestRadius
+MAX_PIXEL_INTERVAL = 8.0       # canActivate lastTracePixelInterval < 8
 
 
 class ImmaturePoints(NamedTuple):
@@ -42,6 +53,8 @@ class ImmaturePoints(NamedTuple):
     color: jnp.ndarray    # (N, 8) host pattern intensities
     status: jnp.ndarray   # (N,) int32
     valid: jnp.ndarray    # (N,) bool
+    quality: jnp.ndarray  # (N,) secondBest/best SSD of the last wide trace
+    last_px: jnp.ndarray  # (N,) epipolar px length of the last real search
 
 
 @partial(jax.jit, static_argnums=(2, 3))
@@ -61,6 +74,8 @@ def make_immature(uv, host_img, id_min=0.01, id_max=10.0):
         color=color,
         status=jnp.full((N,), STATUS_UNINIT, jnp.int32),
         valid=jnp.ones((N,), jnp.bool_),
+        quality=jnp.zeros((N,)),
+        last_px=jnp.full((N,), 1e9),
     )
 
 
@@ -123,11 +138,29 @@ def trace_points(pts: ImmaturePoints, host_c2w, target_c2w, target_img, K):
     outlier = best_ssd > (12.0 ** 2) * 8
     oob = ~any_inb
 
-    # Interval update: keep one discrete step around the best sample.
+    # Match ambiguity (traceOn secondmin loop + setting_minTraceQuality):
+    # secondBest SSD among samples further than MIN_TRACE_TEST_DIST pixels
+    # from the best match. Flat decor regions give quality ~ 1 (the SSD
+    # valley is a plateau) — those matches are noise and must never
+    # activate. When the searched segment is too short to test (a converged
+    # interval), the previous quality is KEPT, like the reference.
+    bx = jnp.take_along_axis(px_s, best[:, None], 1)
+    by = jnp.take_along_axis(py_s, best[:, None], 1)
+    far = (jnp.square(px_s - bx) + jnp.square(py_s - by)
+           > MIN_TRACE_TEST_DIST ** 2)
+    second = jnp.min(jnp.where(far, ssd, jnp.inf), axis=1)
+    has_second = jnp.isfinite(second)
+    quality = jnp.where(has_second & ~skipped & ~oob,
+                        second / jnp.maximum(best_ssd, 1e-6), pts.quality)
+
+    # Interval update: the match +- ERROR_IN_PIXEL pixels mapped back to
+    # idepth through the CURRENT segment (DSO errorInPixel semantics) —
+    # never narrower than +-1 discrete sample (search quantization).
     step = 1.0 / (N_SAMPLES - 1)
+    radius = jnp.maximum(ERROR_IN_PIXEL / jnp.maximum(seg_len, 1e-6), step)
     frac = best.astype(jnp.float32) * step
-    lo = jnp.clip(frac - 1.5 * step, 0.0, 1.0)
-    hi = jnp.clip(frac + 1.5 * step, 0.0, 1.0)
+    lo = jnp.clip(frac - radius, 0.0, 1.0)
+    hi = jnp.clip(frac + radius, 0.0, 1.0)
     new_max = pts.id_max + lo * (pts.id_min - pts.id_max)   # id at lo
     new_min = pts.id_max + hi * (pts.id_min - pts.id_max)
     # (id decreases along the segment from id_max to id_min endpoint naming)
@@ -144,7 +177,11 @@ def trace_points(pts: ImmaturePoints, host_c2w, target_c2w, target_img, K):
     return pts._replace(
         id_min=jnp.where(good, id_min_new, pts.id_min),
         id_max=jnp.where(good, id_max_new, pts.id_max),
-        status=jnp.where(pts.valid, status, pts.status))
+        status=jnp.where(pts.valid, status, pts.status),
+        quality=jnp.where(pts.valid, quality, pts.quality),
+        # lastTracePixelInterval: length of the segment actually searched
+        # this trace (kept through SKIPPED frames like the reference).
+        last_px=jnp.where(good, seg_len, pts.last_px))
 
 
 @jax.jit
@@ -192,12 +229,14 @@ def activate_points(pts: ImmaturePoints, host_c2w, target_c2w, target_img, K):
     idep, _ = lax.scan(gn_step, idep0, None, length=GN_ITERS)
     r, inb = energy(idep)
     e = jnp.sum(r * r, -1)
-    # Maturity: the epipolar interval must have converged — activating
-    # wide-interval candidates injects biased structure that compounds
-    # through BA and the tracking ref (DSO requires small idepth variance
-    # before activation, FullSystem activatePoints canActivate checks).
-    width = pts.id_max - pts.id_min
-    mature = width < jnp.maximum(0.25 * idep0, 0.05)
-    ok = pts.valid & inb & mature & (e < (12.0 ** 2) * 8) & \
-        (pts.status == STATUS_GOOD)
+    # Maturity (DSO canActivate, FullSystem.cpp activatePoints): the LAST
+    # real epipolar search must have been short (lastTracePixelInterval
+    # < 8 px — with trace_points' pixel-error interval update this only
+    # happens once real baseline has accumulated, so small-parallax
+    # candidates never activate on noise) and unambiguous (quality >
+    # setting_minTraceQuality — rejects plateau matches from flat decor
+    # regions). The GN refine above then polishes idepth to sub-pixel.
+    ok = pts.valid & inb & (e < (12.0 ** 2) * 8) & \
+        (pts.status == STATUS_GOOD) & (pts.quality > MIN_TRACE_QUALITY) & \
+        (pts.last_px < MAX_PIXEL_INTERVAL) & (idep > 1e-3)
     return idep, ok

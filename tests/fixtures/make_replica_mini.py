@@ -102,20 +102,60 @@ def texture(p):
     return (np.clip(rgb, 0.02, 0.98) * 255).astype(np.uint8)
 
 
-def render(c2w):
-    """Ray-cast the analytic scene: returns (rgb u8 HxWx3, depth f32 HxW)."""
-    us, vs = np.meshgrid(np.arange(W, dtype=np.float64),
-                         np.arange(H, dtype=np.float64))
-    dirs_cam = np.stack([(us - CX) / FX, (vs - CY) / FY,
+def _ray_box(t, dirs, lo, hi):
+    """Slab-test ray/AABB entry parameter (inf where missed)."""
+    inv = 1.0 / np.where(np.abs(dirs) < 1e-12, 1e-12, dirs)
+    t0 = (lo - t) * inv
+    t1 = (hi - t) * inv
+    tn = np.minimum(t0, t1).max(axis=-1)
+    tf = np.maximum(t0, t1).min(axis=-1)
+    hit = (tn < tf) & (tn > 0.05)
+    return np.where(hit, tn, np.inf)
+
+
+def render(c2w, w=None, h=None, fx=None, fy=None, cx=None, cy=None,
+           boxes=None, ss=1):
+    """Ray-cast the analytic scene: returns (rgb u8 HxWx3, depth f32 HxW).
+    Defaults render scene0 at the module intrinsics; the trajectory scene
+    passes its own (smaller) camera plus free-standing boxes (depth
+    discontinuities + strong parallax — the monocular initializer and the
+    BA need non-coplanar structure).
+
+    :param ss: supersampling factor (odd). The decor has SHARP quantized
+        edges; point-sampling them aliases, making two viewpoints
+        photometrically inconsistent by several intensity levels exactly
+        at the high-gradient pixels gradient-weighted tracking relies on
+        (measured: a GT-depth coarse-tracker ref converges ~7 mm off on
+        ss=1 renders vs sub-mm on ss=3). ss=3 box-filters 9 rays/pixel;
+        depth keeps the exact center ray (no false mid-edge depths)."""
+    w = W if w is None else w
+    h = H if h is None else h
+    fx = FX if fx is None else fx
+    fy = FY if fy is None else fy
+    cx = (w - 1) / 2.0 if cx is None else cx
+    cy = (h - 1) / 2.0 if cy is None else cy
+    if ss > 1:
+        assert ss % 2 == 1, "ss must be odd so a center ray exists"
+        rgb_s, depth_s = render(
+            c2w, w=w * ss, h=h * ss, fx=fx * ss, fy=fy * ss,
+            cx=(cx + 0.5) * ss - 0.5, cy=(cy + 0.5) * ss - 0.5, boxes=boxes)
+        rgb = rgb_s.astype(np.float64).reshape(h, ss, w, ss, 3).mean((1, 3))
+        depth = depth_s.reshape(h, ss, w, ss)[:, ss // 2, :, ss // 2]
+        return np.clip(np.round(rgb), 0, 255).astype(np.uint8), depth
+    us, vs = np.meshgrid(np.arange(w, dtype=np.float64),
+                         np.arange(h, dtype=np.float64))
+    dirs_cam = np.stack([(us - cx) / fx, (vs - cy) / fy,
                          np.ones_like(us)], -1)
     R, t = c2w[:3, :3], c2w[:3, 3]
     dirs = dirs_cam @ R.T
-    tmin = np.full((H, W), np.inf)
+    tmin = np.full((h, w), np.inf)
     for n, d in PLANES:
         denom = dirs @ n
         ti = (d - t @ n) / np.where(np.abs(denom) < 1e-12, 1e-12, denom)
         ti = np.where((denom > 1e-9) & (ti > 0.05), ti, np.inf)
         tmin = np.minimum(tmin, ti)
+    for lo, hi in (boxes or []):
+        tmin = np.minimum(tmin, _ray_box(t, dirs, lo, hi))
     hit = np.isfinite(tmin)
     tz = np.where(hit, tmin, 0.0)
     pts = t + dirs * tz[..., None]
@@ -142,6 +182,130 @@ def poses():
                       0.01 * i]
         out.append(c2w)
     return out
+
+
+# --------------------------------------------------------------------------
+# Trajectory-grade scene (replica_traj/): the EuRoC stand-in. 64 frames at
+# 256x192 through the same room corner plus a free-standing box, long enough
+# for the monocular initializer to snap, the 7-KF window to fill and the
+# TANDEM feedback loop (MVS depth -> TSDF -> rendered depth -> dense
+# tracking) to run for many keyframes. Written in BOTH formats: Replica
+# (MVSDataset-readable) and the DSO drive format (camera_dso.txt + gt_tum.txt
+# for cli.tandem_dataset + eval/ate.py), mirroring what
+# tracking_euroc_eval.bash feeds evaluate_ate.py in the reference.
+# --------------------------------------------------------------------------
+TRAJ_ROOT = os.path.join(os.path.dirname(__file__), "replica_traj")
+TW, TH = 256, 192
+TFX = TFY = 200.0
+TCX, TCY = (TW - 1) / 2.0, (TH - 1) / 2.0
+T_FRAMES = 64
+BOXES = [
+    (np.array([0.35, 0.25, 1.70]), np.array([0.85, 0.90, 2.15])),
+    (np.array([-1.05, 0.45, 2.30]), np.array([-0.55, 0.90, 2.75])),
+]
+
+
+def _rot(yaw, pitch, roll):
+    Ry = np.array([[np.cos(yaw), 0, np.sin(yaw)], [0, 1, 0],
+                   [-np.sin(yaw), 0, np.cos(yaw)]])
+    Rx = np.array([[1, 0, 0], [0, np.cos(pitch), -np.sin(pitch)],
+                   [0, np.sin(pitch), np.cos(pitch)]])
+    Rz = np.array([[np.cos(roll), -np.sin(roll), 0],
+                   [np.sin(roll), np.cos(roll), 0], [0, 0, 1]])
+    return Ry @ Rx @ Rz
+
+
+def traj_poses():
+    """A smooth lateral sweep with yaw pan, gentle dolly-in and handheld
+    bob: ~1 cm/frame translation at 1.5-3 m depth gives the parallax the
+    initializer needs while keeping the DSO flow indicator below the
+    KF-every-frame regime at this small resolution (the KF rule normalizes
+    flow by w+h, FullSystem.cpp:1038-1058, so a 256-wide camera keyframes
+    ~2.5x more eagerly than 640x480 for the same metric motion)."""
+    out = []
+    for i in range(T_FRAMES):
+        u = i / (T_FRAMES - 1)
+        yaw = 0.06 - 0.16 * u + 0.010 * np.sin(5.0 * u * np.pi)
+        pitch = 0.11 + 0.012 * np.sin(3.1 * u * np.pi)
+        roll = 0.008 * np.sin(2.3 * u * np.pi)
+        c2w = np.eye(4)
+        c2w[:3, :3] = _rot(yaw, pitch, roll)
+        c2w[:3, 3] = [-0.36 + 0.66 * u,
+                      -0.10 + 0.018 * np.sin(4.2 * u * np.pi),
+                      -0.30 + 0.28 * u + 0.02 * np.sin(2.7 * u * np.pi)]
+        out.append(c2w)
+    return out
+
+
+def _mat_to_tum(ts, c2w):
+    """One TUM line: timestamp tx ty tz qx qy qz qw."""
+    R, t = c2w[:3, :3], c2w[:3, 3]
+    tr = np.trace(R)
+    if tr > 0:
+        s = np.sqrt(tr + 1.0) * 2
+        qw, qx, qy, qz = (0.25 * s, (R[2, 1] - R[1, 2]) / s,
+                          (R[0, 2] - R[2, 0]) / s, (R[1, 0] - R[0, 1]) / s)
+    else:
+        k = int(np.argmax(np.diag(R)))
+        i, j, l = k, (k + 1) % 3, (k + 2) % 3
+        s = np.sqrt(R[i, i] - R[j, j] - R[l, l] + 1.0) * 2
+        q = [0.0] * 4
+        q[i] = 0.25 * s
+        q[3] = (R[l, j] - R[j, l]) / s
+        q[j] = (R[j, i] + R[i, j]) / s
+        q[l] = (R[l, i] + R[i, l]) / s
+        qx, qy, qz, qw = q
+    return (f"{ts:.6f} {t[0]:.9f} {t[1]:.9f} {t[2]:.9f} "
+            f"{qx:.9f} {qy:.9f} {qz:.9f} {qw:.9f}")
+
+
+def make_traj_scene():
+    scene = os.path.join(TRAJ_ROOT, "scene0")
+    os.makedirs(os.path.join(scene, "images"), exist_ok=True)
+    os.makedirs(os.path.join(scene, "depths"), exist_ok=True)
+
+    with open(os.path.join(TRAJ_ROOT, "val.txt"), "w") as f:
+        f.write("scene0\n")
+    with open(os.path.join(scene, "camera.txt"), "w") as f:
+        f.write(f"{TFX} {TFY} {TCX} {TCY} 0\n{TW} {TH}\n")
+    # DSO drive calib for cli.tandem_dataset (Undistort pinhole format).
+    with open(os.path.join(scene, "camera_dso.txt"), "w") as f:
+        f.write(f"Pinhole {TFX} {TFY} {TCX} {TCY} 0\n{TW} {TH}\n"
+                f"none\n{TW} {TH}\n")
+    with open(os.path.join(scene, "depths", "scale.txt"), "w") as f:
+        f.write(f"{DEPTH_SCALE}\n")
+
+    ps = traj_poses()
+    with open(os.path.join(scene, "poses_gt.txt"), "w") as f:
+        for i, p in enumerate(ps):
+            vals = " ".join(f"{v:.9f}" for v in p.reshape(-1))
+            f.write(f"{i} {vals}\n")
+    # TUM-format GT for tandem_ate / eval/ate.py. Timestamps are i/30 s —
+    # the reader's default stamping for folders without times.txt
+    # (data/reader.py _load_timestamps), so result.txt associates 1:1.
+    with open(os.path.join(scene, "gt_tum.txt"), "w") as f:
+        for i, p in enumerate(ps):
+            f.write(_mat_to_tum(i / 30.0, p) + "\n")
+    with open(os.path.join(scene,
+                           "tuples_dso_optimization_windows.txt"), "w") as f:
+        for s in range(0, T_FRAMES - 6, 4):   # 15 seven-view windows
+            idxs = " ".join(str(s + j) for j in range(7))
+            f.write(f"7 {idxs} 1.0\n")
+
+    for i, p in enumerate(ps):
+        rgb, depth = render(p, w=TW, h=TH, fx=TFX, fy=TFY, cx=TCX, cy=TCY,
+                            boxes=BOXES, ss=3)
+        cv2.imwrite(os.path.join(scene, "images", f"{i:06d}.png"),
+                    cv2.cvtColor(rgb, cv2.COLOR_RGB2BGR),
+                    [cv2.IMWRITE_PNG_COMPRESSION, 9])
+        d16 = np.clip(np.round(depth / DEPTH_SCALE), 0, 65535).astype(
+            np.uint16)
+        cv2.imwrite(os.path.join(scene, "depths", f"{i:06d}.png"), d16)
+    dmins = [render(p, w=TW, h=TH, fx=TFX, fy=TFY, boxes=BOXES)[1] for p
+             in (ps[0], ps[-1])]
+    print(f"traj scene: {T_FRAMES} frames {TW}x{TH}, depth "
+          f"[{min(d[d > 0].min() for d in dmins):.2f}, "
+          f"{max(d.max() for d in dmins):.2f}] m -> {TRAJ_ROOT}")
 
 
 def main():
@@ -181,4 +345,7 @@ def main():
 
 
 if __name__ == "__main__":
-    main()
+    import sys
+    if "--traj-only" not in sys.argv:
+        main()
+    make_traj_scene()

@@ -47,7 +47,7 @@ def test_analytic_jacobians_match_finite_differences():
         pt_color=jnp.asarray(rng.rand(N, 8).astype(np.float32) * 100),
         pt_valid=jnp.ones(N, bool))
 
-    r, Jf, Ji, J_K, w, active = _system_terms(state, images, K)
+    r, Jf, Ji, J_K, w, active, _ = _system_terms(state, images, K)
     zero8 = jnp.zeros(8)
     zero4 = jnp.zeros(4)
     checked = 0
