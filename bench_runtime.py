@@ -1,10 +1,11 @@
 """End-to-end runtime benchmark: full TANDEM pipeline FPS on one TPU chip.
 
 Runs the complete per-frame loop (dense coarse tracking, KF policy, windowed
-BA, CVA-MVSNet inference, TSDF allocate+integrate, splat render, dense
-injection) over a synthetic 640x480 sequence and reports FPS — the analogue
-of the reference's runtime_euroc measurement (~21 FPS on a desktop GPU,
-BASELINE.md).
+BA, CVA-MVSNet inference with the TRAINED abl04 weights, TSDF
+allocate+integrate, splat render, rendered-depth dense injection) over a
+synthetic 640x480 sequence and reports FPS — the analogue of the reference's
+runtime_euroc measurement (~21 FPS on a desktop GPU with preset=runtime =
+trained model + dense:cuda tracking, commandline.cpp:76-101; BASELINE.md).
 
 Not the driver benchmark (see bench.py); run manually:
   python bench_runtime.py [n_frames]
@@ -37,6 +38,9 @@ def make_frames(n, H, W):
 
 
 def main(n_frames=60):
+    import os
+    import pickle
+
     import jax.numpy as jnp
 
     from tandem_tpu.mapping.tsdf import TsdfConfig
@@ -52,17 +56,31 @@ def main(n_frames=60):
 
     model = CvaMVSNet(depth_num=(48, 4, 4), view_aggregation=True,
                       dtype=jnp.bfloat16)  # deployed abl04 arch
-    variables = init_variables(model, H, W, 7)
-    import os
+    # The reference's runtime bar (21 FPS preset=runtime) runs the TRAINED
+    # model with dense tracking ON — match that: load the exported trained
+    # weights so the measured loop is the real feedback loop (MVS depth ->
+    # TSDF -> rendered depth -> dense coarse tracking), not a random-weight
+    # stand-in. BENCH_RANDOM_WEIGHTS=1 restores the old behavior.
+    pkl = os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                       "exported", "tandem", "model_variables.pkl")
+    if os.environ.get("BENCH_RANDOM_WEIGHTS") or not os.path.exists(pkl):
+        variables = init_variables(model, H, W, 7)
+        weights = "random"
+    else:
+        with open(pkl, "rb") as f:
+            variables = pickle.load(f)
+        weights = "trained(abl04)"
     runner = MvsnetRunner(model, variables, H, W, view_num=7,
                           staged=os.environ.get("BENCH_MVSNET_MODE",
-                                                "mono"))
+                                                "staged"))
     timer = Timer()
     backend = TandemBackend(runner, TsdfConfig(), K_mat, H, W,
                             mesh_extraction_freq=0, timer=timer)
     opts = FullSystemOptions(selection_threshold_factor=0.35,
                              kf_global_weight=6.0, init_max_width=0.4,
-                             dense_tracking=False)  # random-weight MVS depth
+                             dense_tracking=True)
+    print(f"weights={weights} mvsnet_mode={runner._staged} "
+          f"dense_tracking={opts.dense_tracking}")
     fs = FullSystem(fx, fx, cx, cy, H, W, options=opts, backend=backend,
                     timer=timer)
 
@@ -77,7 +95,7 @@ def main(n_frames=60):
     steady = times[warm:]
     med = float(np.median(steady))
     print(f"frames={n_frames} keyframes={len(fs.keyframes)} "
-          f"backend_calls={backend.call_num}")
+          f"backend_calls={backend.call_num} retracks={fs.n_retracks}")
     for name in sorted(timer.intervals):
         v = timer.intervals[name][5:] or timer.intervals[name]
         # median: lazy compiles land anywhere in the first half of the run

@@ -180,7 +180,14 @@ class FullSystem:
         self.init_state = None            # CoarseInitializer state
         self._last_energy: Optional[float] = None
         self._first_coarse_rmse: Optional[float] = None  # firstCoarseRMSE
+        # lastCoarseRMSE (FullSystem.h:320, init 100 FullSystem.cpp:154):
+        # the PREVIOUS frame's achieved residual — the retry-ladder gate
+        # compares against THIS (energy < 1.5 x last, FullSystem.cpp:605),
+        # NOT against firstCoarseRMSE (which only drives the KF decision,
+        # :1056). Persists across tracking-ref changes.
+        self._last_coarse_rmse: float = 100.0
         self.n_dropped_kf = 0   # real-time mode backend drops
+        self.n_retracks = 0     # multi-hypothesis retry ladder firings
         self.windows: List[List[int]] = []
 
         # setting_logStuff observability (FullSystem.cpp:78-121)
@@ -248,20 +255,24 @@ class FullSystem:
         # Multi-hypothesis re-tracking (trackNewCoarse retry ladder,
         # FullSystem.cpp:449-529): triggered not just on outright failure
         # but whenever the achieved energy exceeds setting_reTrackThreshold
-        # (1.5) x firstCoarseRMSE — the energy of the first frame tracked on
-        # this reference. This is what breaks motion-model lock-in: one bad
-        # pose makes the constant-velocity prediction bad for the NEXT
-        # frame, which converges into an offset local minimum with a
-        # plausible (but elevated) energy, and without the 1.5x gate the
-        # tracker oscillates between two attractors indefinitely (observed
-        # as a period-2 ~3 cm pose zigzag on the trajectory fixture).
+        # (1.5) x lastCoarseRMSE — the PREVIOUS frame's achieved residual
+        # (FullSystem.cpp:605,617), a slowly-varying reference that follows
+        # legitimate appearance change. This is what breaks motion-model
+        # lock-in: one bad pose makes the constant-velocity prediction bad
+        # for the NEXT frame, which converges into an offset local minimum
+        # with a plausible (but elevated vs the last frame) energy, and
+        # without the 1.5x gate the tracker oscillates between two
+        # attractors indefinitely (observed as a period-2 ~3 cm pose zigzag
+        # on the trajectory fixture). Gating on firstCoarseRMSE instead (a
+        # round-4 interim fix) pinned the bar to the first frame tracked on
+        # each reference and spuriously re-tracked >50% of frames once the
+        # dense feedback loop was on (124 ms/firing, bench_runtime).
         bad = (not np.isfinite(energy)
                or float(out["valid_frac"]) < 0.3
-               or (self._first_coarse_rmse is not None
-                   and energy > 1.5 * self._first_coarse_rmse)
-               or (self._last_energy is not None
-                   and energy > 8.0 * max(self._last_energy, 1.0)))
+               or energy > 1.5 * self._last_coarse_rmse)
         if bad:
+            self.n_retracks += 1
+            t_retry = self.timer.start_timing("track_retry")
             from ..tracking.coarse_tracker import (rotation_perturbations,
                                                    track_frame_multi)
             inv_ref = _np_rigid_inverse(np.asarray(self.ref_kf.c2w))
@@ -291,6 +302,7 @@ class FullSystem:
                 self.tracker_ref, img, T_cands, jnp.array([1.0, 0.0]),
                 self.opt.rgbd))
             energy = float(out["energy"])
+            self.timer.end_timing("track_retry", t_retry)
         self.timer.end_timing("track_frame", tid)
 
         if not np.isfinite(energy) or float(out["valid_frac"]) <= 0.0 \
@@ -301,6 +313,7 @@ class FullSystem:
             self.is_lost = True
             return
         self._last_energy = energy
+        self._last_coarse_rmse = energy   # lastCoarseRMSE = achievedRes
         T = np.asarray(out["T"])                # ref -> new (w2c rel)
         c2w = self.ref_kf.c2w @ _np_rigid_inverse(T)
         self._record_pose(frame_id, timestamp, c2w)
@@ -352,9 +365,10 @@ class FullSystem:
         potential = 4
         best = None
         for _ in range(4):
-            mask = _select_mask(img, float(factor), potential)
-            n = int(np.asarray(mask).sum())
-            best = np.asarray(mask)
+            mask, n = jax.device_get(_select_mask(img, float(factor),
+                                                  potential))
+            n = int(n)
+            best = mask
             if n > 4 * want and potential < 8:
                 potential *= 2          # too many: coarser cells
             elif n < want // 4 and potential > 1:
@@ -926,8 +940,12 @@ def _select_mask(img, threshold_factor: float, potential: int = 4):
     gy = jnp.zeros_like(img)
     gx = gx.at[:, 1:-1].set(0.5 * (img[:, 2:] - img[:, :-2]))
     gy = gy.at[1:-1, :].set(0.5 * (img[2:, :] - img[:-2, :]))
-    return select_pixels(gx * gx + gy * gy, potential=potential,
+    mask = select_pixels(gx * gx + gy * gy, potential=potential,
                          threshold_factor=threshold_factor)
+    # Bundle the count so the density-adaptation loop fetches (mask, n) in
+    # ONE device->host round trip (two full-mask fetches per iteration cost
+    # ~95 ms/KF through the tunnel).
+    return mask, jnp.sum(mask.astype(jnp.int32))
 
 
 @jax.jit
