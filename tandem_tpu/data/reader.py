@@ -104,12 +104,21 @@ class ImageFolderReader:
         return len(self.files)
 
     def get_image(self, idx: int) -> Tuple[np.ndarray, float, float]:
-        """:return: (float32 intensity HxW after undistortion+photometric,
-        timestamp, exposure) — ImageAndExposure equivalent."""
+        """:return: (intensity HxW after undistortion+photometric, timestamp,
+        exposure) — ImageAndExposure equivalent. Dtype is uint8 when the
+        photometric calibration is identity (values are exact integers
+        either way, and uint8 uploads cost 4x less host->device bandwidth —
+        FullSystem.add_active_frame upcasts on device); float32 when a
+        gamma/vignette correction produces fractional irradiance."""
         bgr = self._cache.get(idx)
         if bgr is None:
             bgr = self._read_raw(idx)
         gray_u8 = cv2.cvtColor(bgr, cv2.COLOR_BGR2GRAY)
+        if self.photometric.is_identity:
+            if self.undistort is not None:
+                gray_u8 = native_bridge.remap_u8(
+                    gray_u8, self.undistort.remap_x, self.undistort.remap_y)
+            return gray_u8, self.timestamps[idx], self.exposures[idx]
         gray = self.photometric.process(gray_u8)
         if self.undistort is not None:
             gray = native_bridge.remap_u8(

@@ -247,6 +247,7 @@ class PhotometricUndistorter:
         else:
             self.inv_response = np.arange(256, dtype=np.float32)
 
+        self.is_identity = not gamma_path  # becomes False below if vignette
         self.vignette_inv = None
         if vignette_path and cv2 is not None:
             vg = cv2.imread(vignette_path, -1)
@@ -256,6 +257,7 @@ class PhotometricUndistorter:
                 if size is not None and (vg.shape[1], vg.shape[0]) != size:
                     vg = cv2.resize(vg, size)
                 self.vignette_inv = 1.0 / np.maximum(vg, 1e-3)
+                self.is_identity = False
 
     def process(self, img_u8: np.ndarray) -> np.ndarray:
         out = self.inv_response[img_u8.astype(np.int64)]

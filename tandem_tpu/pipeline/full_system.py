@@ -18,7 +18,7 @@ from __future__ import annotations
 import dataclasses
 import os
 from functools import partial
-from typing import List, Optional
+from typing import List, Optional, Tuple
 
 import jax
 import jax.numpy as jnp
@@ -210,7 +210,16 @@ class FullSystem:
         """:param depth: optional sensor depth (RGB-D mode: rgbd_flag,
         CoarseRGBDInitializer + gt-depth point seeding semantics)."""
         timestamp = float(frame_id) if timestamp is None else timestamp
-        img = jnp.asarray(gray.astype(np.float32))
+        # Transport-aware upload: the host<->device link is the scarce
+        # resource (~23 MB/s through the axon tunnel; docs/PERF.md round 4).
+        # A 640x480 f32 gray costs ~80 ms upstream; the same frame as uint8
+        # is ~13 ms and upcasting on device is free (fused into the first
+        # consumer). The reader returns uint8 whenever the photometric
+        # calibration is identity, so values are bit-identical either way.
+        if gray.dtype == np.uint8:
+            img = _u8_to_f32(jnp.asarray(gray))
+        else:
+            img = jnp.asarray(gray.astype(np.float32))
         self._current_depth = depth
 
         if not self.keyframes:
@@ -275,10 +284,13 @@ class FullSystem:
             t_retry = self.timer.start_timing("track_retry")
             from ..tracking.coarse_tracker import (rotation_perturbations,
                                                    track_frame_multi)
-            inv_ref = _np_rigid_inverse(np.asarray(self.ref_kf.c2w))
             # DSO's candidate order: const motion (= T_init), double, half,
             # zero motion (stay at the last pose), zero motion from the KF,
-            # then the 26 rotation perturbations on const motion.
+            # then the 26 rotation perturbations on const motion. DSO stops
+            # at the first candidate whose achieved energy passes the gate
+            # (trackNewCoarse break) — staged here as two batched device
+            # calls: the 5 motion candidates resolve most retries, and the
+            # 26-rotation sweep (5x the compute) only runs when they don't.
             cands = [T_init]
             if len(self.all_poses) >= 2:
                 import cv2
@@ -294,14 +306,23 @@ class FullSystem:
             cands.append(np.linalg.inv(self.last_c2w)
                          @ np.asarray(self.ref_kf.c2w))          # zero motion
             cands.append(np.eye(4))                              # at the KF
-            perts = rotation_perturbations()
-            T_cands = jnp.asarray(np.concatenate(
-                [np.stack(cands),
-                 np.einsum("nij,jk->nik", perts, T_init)]).astype(np.float32))
             out = jax.device_get(track_frame_multi(
-                self.tracker_ref, img, T_cands, jnp.array([1.0, 0.0]),
-                self.opt.rgbd))
+                self.tracker_ref, img,
+                jnp.asarray(np.stack(cands).astype(np.float32)),
+                jnp.array([1.0, 0.0]), self.opt.rgbd))
             energy = float(out["energy"])
+            if (not np.isfinite(energy) or float(out["valid_frac"]) < 0.3
+                    or energy > 1.5 * self._last_coarse_rmse):
+                perts = rotation_perturbations()
+                out2 = jax.device_get(track_frame_multi(
+                    self.tracker_ref, img,
+                    jnp.asarray(np.einsum("nij,jk->nik", perts,
+                                          T_init).astype(np.float32)),
+                    jnp.array([1.0, 0.0]), self.opt.rgbd))
+                e2 = float(out2["energy"])
+                if np.isfinite(e2) and (not np.isfinite(energy)
+                                        or e2 < energy):
+                    out, energy = out2, e2
             self.timer.end_timing("track_retry", t_retry)
         self.timer.end_timing("track_frame", tid)
 
@@ -352,23 +373,36 @@ class FullSystem:
             self._make_keyframe(img, frame_id, timestamp, c2w, bgr)
 
 
-    def _select_candidates(self, img) -> np.ndarray:
+    def _select_uv(self, img) -> Tuple[np.ndarray, int]:
         """Gradient-based candidate selection with DSO-style density
         adaptation (PixelSelector2::makeMaps recursion): when the yield is
         far from the desired density, first relax the threshold, then grow
         the selection potential (one candidate per LARGER cell -> fewer,
         or per smaller cell -> more), exactly the two knobs the reference
-        recursion adjusts (PixelSelector2.cpp makeMaps
-        quotia/potential update)."""
+        recursion adjusts (PixelSelector2.cpp makeMaps quotia/potential
+        update).
+
+        Transport-aware: the adaptation loop only needs COUNTS, and every
+        (factor, potential) config reachable within its 4 iterations is
+        known up front — so all 5 counts are computed in one jitted call
+        (one ~16 B fetch), the loop is replayed on host arithmetic, and the
+        selected pixels are extracted on DEVICE (cumsum-rank subsampling,
+        identical to np.nonzero + linspace) so only the capped uv list
+        (~16 KB) ever crosses the link. Two round trips total; the old
+        per-iteration full-mask fetches cost ~95 ms/KF through the tunnel.
+
+        :return: (uv (n,2) float32 x,y ; total selected count pre-cap)
+        """
         want = self.opt.immature_cap
-        factor = self.opt.selection_threshold_factor
-        potential = 4
-        best = None
+        f0 = float(self.opt.selection_threshold_factor)
+        ladder = [(f0, 4), (f0, 8), (f0, 2), (f0, 1), (f0 * 0.4, 1)]
+        counts = {cfg: int(n) for cfg, n in zip(
+            ladder, jax.device_get(_select_counts(img, f0)))}
+        factor, potential = f0, 4
+        final = (factor, potential)
         for _ in range(4):
-            mask, n = jax.device_get(_select_mask(img, float(factor),
-                                                  potential))
-            n = int(n)
-            best = mask
+            n = counts[(factor, potential)]
+            final = (factor, potential)
             if n > 4 * want and potential < 8:
                 potential *= 2          # too many: coarser cells
             elif n < want // 4 and potential > 1:
@@ -377,7 +411,8 @@ class FullSystem:
                 factor *= 0.4           # finest cells still starved: relax
             else:
                 break
-        return best
+        uv, n = jax.device_get(_select_uv_jit(img, final[0], final[1], want))
+        return uv, int(n)
 
     # ------------------------------------------------------------------
     def _first_frame_rgbd(self, img, frame_id, timestamp, bgr, depth):
@@ -392,8 +427,7 @@ class FullSystem:
         self._record_pose(frame_id, timestamp, kf.c2w)
         self._assign_slot(kf)
 
-        mask = self._select_candidates(img)
-        uv = self._mask_to_uv(mask, self.opt.immature_cap)
+        uv, n_sel = self._select_uv(img)
         d = kf.sensor_depth[uv[:, 1].astype(int), uv[:, 0].astype(int)]
         ok = d > 0.05
         self._insert_points(kf, uv, 1.0 / np.maximum(d, 0.05), ok)
@@ -408,7 +442,7 @@ class FullSystem:
         self._dvo_ref = build_rgbd_pyramid(
             img, jnp.asarray(kf.sensor_depth), *self.K, num_levels=2)
         kf.immature = make_immature(jnp.asarray(uv), img)
-        kf.n_immature = min(int(mask.sum()), self.opt.immature_cap)
+        kf.n_immature = min(n_sel, self.opt.immature_cap)
         self.initialized = True
 
     def _first_frame(self, img, frame_id, timestamp, bgr):
@@ -523,24 +557,16 @@ class FullSystem:
         return bool(score > 1.0
                     or (first is not None and 2.0 * first < energy))
 
-    # ------------------------------------------------------------------
-    def _mask_to_uv(self, mask: np.ndarray, cap: int) -> np.ndarray:
-        ys, xs = np.nonzero(mask)
-        if len(ys) > cap:
-            idx = np.linspace(0, len(ys) - 1, cap).astype(int)
-            ys, xs = ys[idx], xs[idx]
-        uv = np.stack([xs, ys], -1).astype(np.float32)
-        if len(uv) < cap:
-            uv = np.concatenate([uv, np.zeros((cap - len(uv), 2), np.float32)])
-        return uv
 
     def _assign_slot(self, kf: Keyframe):
-        valid = np.asarray(self.ba_state.frame_valid)
-        free = np.nonzero(~valid)[0]
-        if len(free) == 0:
+        # kf_of_slot is the exact host mirror of the device frame_valid mask
+        # (_assign_slot_jit sets it, marginalize_frame clears it, nothing
+        # else touches it) — so the free slot comes from host bookkeeping
+        # with NO device fetch (each fetch is a full tunnel round trip).
+        free = [i for i, k in enumerate(self.kf_of_slot) if k is None]
+        if not free:
             self._marginalize_oldest()
-            valid = np.asarray(self.ba_state.frame_valid)
-            free = np.nonzero(~valid)[0]
+            free = [i for i, k in enumerate(self.kf_of_slot) if k is None]
         slot = int(free[0])
         kf.slot = slot
         self.kf_of_slot[slot] = kf
@@ -701,8 +727,7 @@ class FullSystem:
         # RGB-D: seed points in the new KF directly from sensor depth
         # (makeNewTraces gt seeding: idepth_max=idepth_min=1/gtDepth)
         if kf.sensor_depth is not None:
-            m0 = self._select_candidates(img)
-            uv0 = self._mask_to_uv(m0, self.opt.immature_cap)
+            uv0, _ = self._select_uv(img)
             d0 = kf.sensor_depth[uv0[:, 1].astype(int), uv0[:, 0].astype(int)]
             self._insert_points(kf, uv0, 1.0 / np.maximum(d0, 0.05), d0 > 0.05)
 
@@ -719,10 +744,10 @@ class FullSystem:
                            if self.logger is not None else 0)
         self.ba_state = remove_outliers(
             self.ba_state, self.slot_images, self.K)
-        jax.block_until_ready(self.ba_state.poses)
+        # device_get blocks AND fetches in one round trip (block_until_ready
+        # followed by np.asarray costs two).
+        poses = jax.device_get(self.ba_state.poses)
         self.timer.end_timing("kf_ba", t_ba)
-        # Write back refined poses
-        poses = np.asarray(self.ba_state.poses)
         for slot, k in enumerate(self.kf_of_slot):
             if k is not None:
                 moved = float(np.linalg.norm(poses[slot][:3, 3]
@@ -735,11 +760,10 @@ class FullSystem:
 
         t_sel = self.timer.start_timing("kf_select")
         # New immature points in this KF
-        mask = self._select_candidates(img)
-        uv = self._mask_to_uv(mask, self.opt.immature_cap)
+        uv, n_sel = self._select_uv(img)
         kf.immature = make_immature(jnp.asarray(uv), img, id_min=0.05,
                                     id_max=5.0)
-        kf.n_immature = min(int(mask.sum()), self.opt.immature_cap)
+        kf.n_immature = min(n_sel, self.opt.immature_cap)
 
         self.timer.end_timing("kf_select", t_sel)
         # Record the optimization window (dso_optimization_windows format)
@@ -801,8 +825,9 @@ class FullSystem:
         # inversion — 0.8-idepth-quantile — clipping the plane sweep 3-4x
         # short; test_full_system.py::test_depth_range_quantile pins the
         # reference arithmetic.)
-        idep = np.asarray(self.ba_state.pt_idepth)
-        idv = idep[np.asarray(self.ba_state.pt_valid)]
+        idep, pt_valid = jax.device_get(       # one bundled round trip
+            (self.ba_state.pt_idepth, self.ba_state.pt_valid))
+        idv = idep[pt_valid]
         if len(idv) > 0:
             dmax = 3.0 / max(reference_idepth_quantile(idv, 0.2), 1e-3)
         else:
@@ -931,21 +956,56 @@ class FullSystem:
             self.logger.close()
 
 
-@partial(jax.jit, static_argnums=(1, 2))
-def _select_mask(img, threshold_factor: float, potential: int = 4):
-    """Gradient magnitude + adaptive-threshold selection in ONE device
-    program (eager pyramid ops on the host path are slow and, once pulled to
-    numpy, poison remote dispatch)."""
+@jax.jit
+def _u8_to_f32(x):
+    return x.astype(jnp.float32)
+
+
+def _abs_grad2(img):
     gx = jnp.zeros_like(img)
     gy = jnp.zeros_like(img)
     gx = gx.at[:, 1:-1].set(0.5 * (img[:, 2:] - img[:, :-2]))
     gy = gy.at[1:-1, :].set(0.5 * (img[2:, :] - img[:-2, :]))
-    mask = select_pixels(gx * gx + gy * gy, potential=potential,
+    return gx * gx + gy * gy
+
+
+@partial(jax.jit, static_argnums=(1,))
+def _select_counts(img, f0: float):
+    """Candidate counts for every (factor, potential) config the density
+    adaptation loop can visit, in one program (one scalar-vector fetch)."""
+    g2 = _abs_grad2(img)
+    return jnp.stack([
+        jnp.sum(select_pixels(g2, potential=p,
+                              threshold_factor=f).astype(jnp.int32))
+        for f, p in ((f0, 4), (f0, 8), (f0, 2), (f0, 1), (f0 * 0.4, 1))])
+
+
+@partial(jax.jit, static_argnums=(1, 2, 3))
+def _select_uv_jit(img, threshold_factor: float, potential: int, cap: int):
+    """Select pixels and extract their (x, y) coordinates ON DEVICE.
+
+    Replicates np.nonzero(mask) + np.linspace(0, n-1, cap).astype(int)
+    subsampling exactly: selected pixels are ranked in row-major order via
+    a cumulative sum, the k-th kept rank is (k*(n-1))//(cap-1) (integer
+    arithmetic — equal to float64 linspace truncation for n*cap < 2^31),
+    and searchsorted finds the pixel holding each rank. Only (cap, 2)
+    floats cross the host link instead of the full mask. Entries past the
+    n-th are zero — the same padding the host path always produced (the
+    (cap, 2) shape keeps downstream jits static).
+    """
+    H, W = img.shape
+    mask = select_pixels(_abs_grad2(img), potential=potential,
                          threshold_factor=threshold_factor)
-    # Bundle the count so the density-adaptation loop fetches (mask, n) in
-    # ONE device->host round trip (two full-mask fetches per iteration cost
-    # ~95 ms/KF through the tunnel).
-    return mask, jnp.sum(mask.astype(jnp.int32))
+    flat = mask.reshape(-1).astype(jnp.int32)
+    csum = jnp.cumsum(flat)
+    n = csum[-1]
+    k = jnp.arange(cap, dtype=jnp.int32)
+    t = jnp.where(n > cap, (k * jnp.maximum(n - 1, 0)) // (cap - 1), k)
+    idx = jnp.searchsorted(csum, t + 1)
+    valid = t < n
+    uv = jnp.stack([(idx % W).astype(jnp.float32),
+                    (idx // W).astype(jnp.float32)], -1)
+    return jnp.where(valid[:, None], uv, 0.0), n
 
 
 @jax.jit

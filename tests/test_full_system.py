@@ -182,3 +182,58 @@ def test_keyframe_decision_reference_formula():
     fs3.keyframes.append(kf)
     assert not fs3._keyframe_decision([1e9, 0.0, 1e9], out, 1e9, 1.4)
     assert fs3._keyframe_decision([0.0, 0.0, 0.0], out, 0.0, 1.5)
+
+
+def test_uint8_frames_match_float32():
+    """The transport-aware uint8 upload path (add_active_frame upcasts on
+    device) must be bit-identical to feeding float32: integer-valued images
+    produce the same f32 device array either way, so every downstream pose
+    must match exactly."""
+    poses_gt, images = make_sequence(n=12)
+    images_u8 = [np.clip(im, 0, 255).astype(np.uint8) for im in images]
+    images_f32 = [im.astype(np.float32) for im in images_u8]
+    opts = FullSystemOptions(selection_threshold_factor=0.35,
+                             kf_global_weight=6.0, ba_iters=2,
+                             init_max_width=0.4)
+    runs = []
+    for imgs in (images_u8, images_f32):
+        fs = FullSystem(FX, FY, CX, CY, H, W, options=opts)
+        for i, img in enumerate(imgs):
+            fs.add_active_frame(img, i, float(i) * 0.1)
+        runs.append([p.copy() for p in fs.all_poses])
+    assert len(runs[0]) == len(runs[1]) == len(images)
+    for a, b in zip(runs[0], runs[1]):
+        np.testing.assert_array_equal(a, b)
+
+
+def test_select_uv_device_matches_host_nonzero_linspace():
+    """_select_uv_jit's device-side rank extraction must reproduce the host
+    reference (np.nonzero row-major order + linspace subsampling + zero
+    padding) exactly, for n < cap, n > cap, and n == 0."""
+    from tandem_tpu.pipeline.full_system import _select_uv_jit
+    from tandem_tpu.tracking.point_selection import select_pixels
+    from tandem_tpu.pipeline.full_system import _abs_grad2
+
+    rng = np.random.RandomState(3)
+    img_np = (rng.rand(H, W) * 255).astype(np.float32)
+    img = jnp.asarray(img_np)
+
+    def host_ref(mask, cap):
+        ys, xs = np.nonzero(mask)
+        if len(ys) > cap:
+            idx = np.linspace(0, len(ys) - 1, cap).astype(int)
+            ys, xs = ys[idx], xs[idx]
+        uv = np.stack([xs, ys], -1).astype(np.float32)
+        if len(uv) < cap:
+            uv = np.concatenate(
+                [uv, np.zeros((cap - len(uv), 2), np.float32)])
+        return uv
+
+    for factor, potential, cap in ((0.35, 4, 64), (0.35, 1, 100000),
+                                   (1e9, 4, 64)):  # n>cap, n<cap, n==0
+        mask = np.asarray(select_pixels(_abs_grad2(img), potential=potential,
+                                        threshold_factor=factor))
+        n_ref = int(mask.sum())
+        uv, n = _select_uv_jit(img, factor, potential, cap)
+        assert int(n) == n_ref
+        np.testing.assert_array_equal(np.asarray(uv), host_ref(mask, cap))
