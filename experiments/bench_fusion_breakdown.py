@@ -93,6 +93,13 @@ def main():
                                    n_allocated=n_pad), iters=10) * 1e3
     print(f"render_splat           {t:7.2f} ms")
 
+    t = device_time(
+        lambda: render_depth_splat(cfg, state["vol"], Kd, pose, H, W,
+                                   n_allocated=n_pad, slots=slots,
+                                   n_visible=int(n_vis)), iters=10) * 1e3
+    print(f"render_splat_culled    {t:7.2f} ms  (100% visible here — real "
+          f"scans see n_vis << n_alloc)")
+
 
 if __name__ == "__main__":
     main()

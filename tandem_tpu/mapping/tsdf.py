@@ -271,9 +271,10 @@ def _integrate_chunk(cfg: TsdfConfig, vol: TsdfVolume, depth_color, K,
     slot_active = ((start + jnp.arange(chunk)) < vol.n_allocated)[:, None]
 
     pix = jnp.where(in_img, v * img_w + u, 0).reshape(-1)
-    dc = depth_color[pix].reshape(chunk, B3, 4)          # wide-row gather
-    d_px = dc[..., 0]
-    c_px = dc[..., 1:]
+    # Wide-row gather of the f16x8 split-precision pack (see _pack_scan).
+    dc = depth_color[pix].reshape(chunk, B3, 8)
+    d_px = dc[..., 0].astype(jnp.float32) + dc[..., 1].astype(jnp.float32)
+    c_px = dc[..., 2:5].astype(jnp.float32)
     d_ok = (d_px > 0) & (d_px >= cfg.min_depth) & (d_px < cfg.max_depth)
 
     # surface_dist = |unproject(u, v, d)| (utils.h GetPoint3d:93-101),
@@ -306,8 +307,22 @@ def _integrate_chunk(cfg: TsdfConfig, vol: TsdfVolume, depth_color, K,
 
 @jax.jit
 def _pack_scan(depth, color, cam_to_world):
+    """Pack the scan as (H*W, 8) float16 rows [d_hi, d_lo, r, g, b, 0, 0, 0].
+
+    The per-voxel pixel lookup is a 3.1 M-row gather and the TPU gather
+    unit moves f16x8 rows ~4x faster than the f32x4 packing it replaces
+    (measured 3.4 vs 13.6 ms for 6144 blocks on v5e — see docs/PERF.md
+    round 4). Depth is split-precision: d_hi = f16(d), d_lo = f16(d - d_hi),
+    reconstructed as f32(d_hi) + f32(d_lo) with relative error ~2^-21
+    (<1 um at 2 m — far below the 1 cm voxel). Colors are 0..255 integers,
+    exact in f16 (10 mantissa bits cover integers to 2048).
+    """
+    d = depth.reshape(-1, 1)
+    d_hi = d.astype(jnp.float16)
+    d_lo = (d - d_hi.astype(jnp.float32)).astype(jnp.float16)
     depth_color = jnp.concatenate(
-        [depth.reshape(-1, 1), color.reshape(-1, 3)], -1)
+        [d_hi, d_lo, color.reshape(-1, 3).astype(jnp.float16),
+         jnp.zeros((d.shape[0], 3), jnp.float16)], -1)
     w2c_R = cam_to_world[:3, :3].T
     w2c_t = -w2c_R @ cam_to_world[:3, 3]
     return depth_color, w2c_R, w2c_t
@@ -443,9 +458,10 @@ def _integrate_chunk_gather(cfg: TsdfConfig, vol: TsdfVolume, depth_color, K,
     in_img = (z > 0) & (u >= 0) & (u < img_w) & (v >= 0) & (v < img_h)
 
     pix = jnp.where(in_img, v * img_w + u, 0).reshape(-1)
-    dc = depth_color[pix].reshape(chunk, B3, 4)
-    d_px = dc[..., 0]
-    c_px = dc[..., 1:]
+    # Wide-row gather of the f16x8 split-precision pack (see _pack_scan).
+    dc = depth_color[pix].reshape(chunk, B3, 8)
+    d_px = dc[..., 0].astype(jnp.float32) + dc[..., 1].astype(jnp.float32)
+    c_px = dc[..., 2:5].astype(jnp.float32)
     d_ok = (d_px > 0) & (d_px >= cfg.min_depth) & (d_px < cfg.max_depth)
 
     ru = (u.astype(jnp.float32) - cx) / fx
@@ -547,6 +563,35 @@ def _get_interpolated(cfg: TsdfConfig, vol: TsdfVolume, pts_w):
 @partial(jax.jit, static_argnums=(0, 8, 9, 10), donate_argnums=(1,))
 def _splat_chunk(cfg: TsdfConfig, zbuf, vol: TsdfVolume, pair_tab, K, w2c_R,
                  w2c_t, start, chunk: int, H: int, W: int):
+    """Splat a contiguous pool range [start, start+chunk) (see _splat_core)."""
+    coords = jax.lax.dynamic_slice_in_dim(vol.block_coords, start, chunk, 0)
+    tsdf_c = jax.lax.dynamic_slice_in_dim(vol.tsdf, start, chunk, 0)
+    weight_c = jax.lax.dynamic_slice_in_dim(vol.weight, start, chunk, 0)
+    slot_active = ((start + jnp.arange(chunk)) < vol.n_allocated)
+    return _splat_core(cfg, zbuf, vol, pair_tab, K, w2c_R, w2c_t, coords,
+                       tsdf_c, weight_c, slot_active, chunk, H, W)
+
+
+@partial(jax.jit, static_argnums=(0, 8, 9, 10), donate_argnums=(1,))
+def _splat_chunk_gather(cfg: TsdfConfig, zbuf, vol: TsdfVolume, pair_tab, K,
+                        w2c_R, w2c_t, slots, chunk: int, H: int, W: int):
+    """Splat an explicit (frustum-culled) slot list. Unlike the culled
+    INTEGRATE, the splat is read-only — no payload scatter-back — so the
+    per-block row gather is the only indirection cost and the culled path
+    is cheaper whenever any block is out of view (sentinel slots ==
+    pool_size are masked out)."""
+    safe = jnp.clip(slots, 0, cfg.pool_size - 1)
+    active = slots < cfg.pool_size
+    coords = vol.block_coords[safe]
+    tsdf_c = vol.tsdf[safe]
+    weight_c = vol.weight[safe]
+    return _splat_core(cfg, zbuf, vol, pair_tab, K, w2c_R, w2c_t, coords,
+                       tsdf_c, weight_c, active, chunk, H, W)
+
+
+def _splat_core(cfg: TsdfConfig, zbuf, vol: TsdfVolume, pair_tab, K, w2c_R,
+                w2c_t, coords, tsdf_c, weight_c, slot_active, chunk: int,
+                H: int, W: int):
     """Splat the zero-crossing surface points of ``chunk`` pool blocks.
 
     Per axis and per block column, the sdf sign change between adjacent
@@ -563,10 +608,6 @@ def _splat_chunk(cfg: TsdfConfig, zbuf, vol: TsdfVolume, pair_tab, K, w2c_R,
     B3 = b ** 3
     vs = cfg.voxel_size
     P = pair_tab.shape[0] // B3
-    coords = jax.lax.dynamic_slice_in_dim(vol.block_coords, start, chunk, 0)
-    tsdf_c = jax.lax.dynamic_slice_in_dim(vol.tsdf, start, chunk, 0)
-    weight_c = jax.lax.dynamic_slice_in_dim(vol.weight, start, chunk, 0)
-    slot_active = ((start + jnp.arange(chunk)) < vol.n_allocated)
 
     fx, fy, cx, cy = K[0, 0], K[1, 1], K[0, 2], K[1, 2]
     jk = jnp.arange(b * b, dtype=jnp.int32)
@@ -599,9 +640,10 @@ def _splat_chunk(cfg: TsdfConfig, zbuf, vol: TsdfVolume, pair_tab, K, w2c_R,
         nb_slot = vol.page_table[flat_tab]
         nb_ok = (nb_slot >= 0) & (nb_slot < P) & in_arena
         rows = (jnp.where(nb_ok, nb_slot, 0)[:, None] * B3 + face_li[None])
-        nb = pair_tab[rows.reshape(-1)].reshape(chunk, b * b, 2)
-        s_nb = nb[..., 0]                                      # (C, 64)
-        w_nb = jnp.where(nb_ok[:, None], nb[..., 1], 0.0)
+        nb = pair_tab[rows.reshape(-1)].reshape(chunk, b * b, 8)
+        s_nb = (nb[..., 0].astype(jnp.float32)
+                + nb[..., 1].astype(jnp.float32))              # (C, 64)
+        w_nb = jnp.where(nb_ok[:, None], nb[..., 2].astype(jnp.float32), 0.0)
 
         # Value at local+1 along a (neighbour face at the boundary), built
         # with one slice+concat in the (chunk, ..., b, ...) view, then
@@ -671,18 +713,27 @@ def _splat_chunk(cfg: TsdfConfig, zbuf, vol: TsdfVolume, pair_tab, K, w2c_R,
 
 
 def _pair_table(vol: TsdfVolume, n: int, chunk: int):
-    """(P*B3, 2) [tsdf, weight] prefix rows for cross-block lookups, with P
-    rounded to the chunk size so jit signatures stay rare."""
+    """(P*B3, 8) float16 [sdf_hi, sdf_lo, weight, 0 x5] prefix rows for
+    cross-block lookups, with P rounded to the chunk size so jit signatures
+    stay rare. Split-precision sdf (hi + lo reconstructs to ~2^-21 relative)
+    and f16x8 rows because the TPU gather unit moves them ~4x faster than
+    f32x2 at equal row count (docs/PERF.md round 4); weights are integer
+    counts <= max_weight, exact in f16."""
     B3 = vol.tsdf.shape[1]
     P = min(-(-max(n, 1) // chunk) * chunk, vol.tsdf.shape[0])
     tsdf_p = jax.lax.slice_in_dim(vol.tsdf, 0, P, axis=0)
     wgt_p = jax.lax.slice_in_dim(vol.weight, 0, P, axis=0)
-    return jnp.stack([tsdf_p, wgt_p], -1).reshape(P * B3, 2)
+    s_hi = tsdf_p.astype(jnp.float16)
+    s_lo = (tsdf_p - s_hi.astype(jnp.float32)).astype(jnp.float16)
+    return jnp.stack(
+        [s_hi, s_lo, wgt_p.astype(jnp.float16)]
+        + [jnp.zeros_like(s_hi)] * 5, -1).reshape(P * B3, 8)
 
 
 def render_depth_splat(cfg: TsdfConfig, vol: TsdfVolume, K, cam_to_world,
                        H: int, W: int, chunk: int = 2048,
-                       fill_rounds: int = 2, n_allocated: int = None):
+                       fill_rounds: int = 2, n_allocated: int = None,
+                       slots=None, n_visible: int = None):
     """Render the model depth by splatting per-column sdf zero crossings with
     a z-buffer (occlusion = scatter-min) instead of per-ray sphere tracing.
 
@@ -690,18 +741,31 @@ def render_depth_splat(cfg: TsdfConfig, vol: TsdfVolume, K, cam_to_world,
     (GenerateRgbDepthKernel): cost scales with the allocated surface, not
     rays x steps, and there are no sequential march loops. The splatted
     points are exact linear-interpolated surface crossings (see
-    _splat_chunk); the tracker consumes the result as initialization-quality
+    _splat_core); the tracker consumes the result as initialization-quality
     depth on a stride grid.
 
+    :param slots: optional frustum-culled slot list for THIS camera (from
+        visible_slots at cam_to_world) with host count ``n_visible``: splat
+        cost then scales with the visible surface. Exact — out-of-frustum
+        blocks cannot contribute to the z-buffer (their points project
+        outside the image), which test_splat_culled_matches_full pins.
     :return: (H, W) depth, 0 where empty.
     """
     w2c_R, w2c_t, zbuf = _splat_init(cam_to_world, H, W)
     chunk = min(chunk, cfg.pool_size)
     n = int(vol.n_allocated) if n_allocated is None else n_allocated
     pair_tab = _pair_table(vol, n, chunk)
-    for start in range(0, max(n, 1), chunk):
-        zbuf = _splat_chunk(cfg, zbuf, vol, pair_tab, K, w2c_R, w2c_t,
-                            start, chunk, H, W)
+    if slots is not None and n_visible is not None:
+        slots = jnp.concatenate(
+            [slots, jnp.full((chunk,), cfg.pool_size, jnp.int32)])
+        for start in range(0, max(n_visible, 1), chunk):
+            sl = jax.lax.dynamic_slice_in_dim(slots, start, chunk, 0)
+            zbuf = _splat_chunk_gather(cfg, zbuf, vol, pair_tab, K, w2c_R,
+                                       w2c_t, sl, chunk, H, W)
+    else:
+        for start in range(0, max(n, 1), chunk):
+            zbuf = _splat_chunk(cfg, zbuf, vol, pair_tab, K, w2c_R, w2c_t,
+                                start, chunk, H, W)
     return _splat_finish(zbuf, H, W, fill_rounds)
 
 

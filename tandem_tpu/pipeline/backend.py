@@ -109,10 +109,16 @@ class TandemBackend:
             # counts for the integrate/render loops in a single device_get
             # (two sequential int() fetches would block on two dispatch
             # chains).
+            pose_r = jnp.asarray(next_ref_c2w)
             slots, n_vis = visible_slots(self.cfg, self.volume, Kj, pose,
                                          self.H, self.W)
-            n_alloc, n_vis, n_drop = jax.device_get(
-                (self.volume.n_allocated, n_vis, self.volume.n_dropped))
+            # Second cull for the RENDER camera (the next tracking ref):
+            # the read-only splat scales with ITS visible surface.
+            slots_r, n_vis_r = visible_slots(self.cfg, self.volume, Kj,
+                                             pose_r, self.H, self.W)
+            n_alloc, n_vis, n_vis_r, n_drop = jax.device_get(
+                (self.volume.n_allocated, n_vis, n_vis_r,
+                 self.volume.n_dropped))
             # Pool-exhaustion handling: the reference commits 10^6 blocks and
             # KERNEL_ABORTs when the heap runs dry (heap.cu:16-18); here the
             # pool DOUBLES on demand (slots are stable, growth is padding)
@@ -134,8 +140,10 @@ class TandemBackend:
                                               Kj, pose)
                 slots, n_vis = visible_slots(self.cfg, self.volume, Kj,
                                              pose, self.H, self.W)
-                n_alloc, n_vis, n_drop = jax.device_get(
-                    (self.volume.n_allocated, n_vis,
+                slots_r, n_vis_r = visible_slots(self.cfg, self.volume, Kj,
+                                                 pose_r, self.H, self.W)
+                n_alloc, n_vis, n_vis_r, n_drop = jax.device_get(
+                    (self.volume.n_allocated, n_vis, n_vis_r,
                      self.volume.n_dropped))
             self._n_alloc = int(n_alloc)
             n_vis = int(n_vis)
@@ -160,10 +168,11 @@ class TandemBackend:
             else:
                 self.volume = integrate_culled(self.cfg, self.volume, depth,
                                                rgb, Kj, pose, slots, n_vis)
-            rdepth = render_depth_splat(self.cfg, self.volume, Kj,
-                                        jnp.asarray(next_ref_c2w),
+            rdepth = render_depth_splat(self.cfg, self.volume, Kj, pose_r,
                                         self.H, self.W,
-                                        n_allocated=self._n_alloc)
+                                        n_allocated=self._n_alloc,
+                                        slots=slots_r,
+                                        n_visible=int(n_vis_r))
             # Keep the rendered depth device-resident: its only consumer is
             # the (jitted) splat into the next tracking reference.
             self.depth_map.write(rdepth, np.asarray(next_ref_c2w))

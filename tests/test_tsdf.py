@@ -398,3 +398,58 @@ def test_raycast_roundtrip_concave_corner():
     side = both & (np.abs(g - 2.2 + t2[2]) > 0.1)
     assert side.sum() > 50
     assert np.median(np.abs(r[side] - g[side])) < CFG.voxel_size * 2.5
+
+
+def test_pack_scan_split_precision():
+    """The f16x8 scan pack (gather-rate optimization) must reconstruct depth
+    to ~2^-21 relative error and colors exactly."""
+    from tandem_tpu.mapping.tsdf import _pack_scan
+
+    rng = np.random.RandomState(7)
+    depth = jnp.asarray((0.1 + 9.8 * rng.rand(H, W)).astype(np.float32))
+    color = jnp.asarray(rng.randint(0, 256, (H, W, 3)).astype(np.float32))
+    dc, _, _ = _pack_scan(depth, color, jnp.eye(4))
+    assert dc.dtype == jnp.float16 and dc.shape == (H * W, 8)
+    d_rec = (np.asarray(dc[:, 0], np.float32)
+             + np.asarray(dc[:, 1], np.float32))
+    d_ref = np.asarray(depth).reshape(-1)
+    assert np.abs(d_rec - d_ref).max() <= d_ref.max() * 2.0 ** -21
+    np.testing.assert_array_equal(np.asarray(dc[:, 2:5], np.float32),
+                                  np.asarray(color).reshape(-1, 3))
+
+
+def test_splat_culled_matches_full():
+    """The frustum-culled splat (render_depth_splat with slots=) must equal
+    the full-pool walk exactly for on-surface, offset, and wide-FOV render
+    cameras — out-of-frustum blocks cannot contribute to the z-buffer, and
+    visible_slots is provably conservative."""
+    from tandem_tpu.mapping.tsdf import render_depth_splat, visible_slots
+
+    K, pose = _camera()
+    depth = _wall_depth(2.0)
+    color = jnp.broadcast_to(jnp.array([90.0, 120.0, 200.0]), (H, W, 3))
+    vol = create_volume(CFG)
+    vol = allocate_blocks(CFG, vol, depth, K, pose)
+    vol = integrate(CFG, vol, depth, color, K, pose)
+    n_alloc = int(vol.n_allocated)
+
+    K_wide = jnp.asarray(np.array(
+        [[25.0, 0, (W - 1) / 2], [0, 25.0, (H - 1) / 2], [0, 0, 1]],
+        np.float32))
+
+    def pose_at(tx, ty, tz):
+        p = np.eye(4, dtype=np.float32)
+        p[:3, 3] = [tx, ty, tz]
+        return jnp.asarray(p)
+
+    cases = [(K, pose), (K, pose_at(0.3, -0.2, 0.5)),
+             (K_wide, pose_at(0.0, 0.0, 1.0)),
+             (K, pose_at(0.0, 0.0, 1.98))]
+    for Kc, pc in cases:
+        slots, n_vis = visible_slots(CFG, vol, Kc, pc, H, W)
+        full = render_depth_splat(CFG, vol, Kc, pc, H, W, chunk=1024,
+                                  n_allocated=n_alloc)
+        cull = render_depth_splat(CFG, vol, Kc, pc, H, W, chunk=1024,
+                                  n_allocated=n_alloc, slots=slots,
+                                  n_visible=int(n_vis))
+        np.testing.assert_array_equal(np.asarray(full), np.asarray(cull))
