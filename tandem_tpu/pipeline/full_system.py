@@ -693,9 +693,11 @@ class FullSystem:
         # Marginalization selection runs BEFORE the new KF joins the window
         # (flagFramesForMarginalization(fh), FullSystem.cpp makeKeyFrame);
         # flagged frames still participate in the BA below.
+        t_flag = self.timer.start_timing("kf_flag")
         flagged = [] if from_init else self._flag_frames_for_marginalization()
         self.keyframes.append(kf)
         self._assign_slot(kf)
+        self.timer.end_timing("kf_flag", t_flag)
 
         t_act = self.timer.start_timing("kf_activate")
         # Activate matured immature points from ALL window keyframes
@@ -782,7 +784,9 @@ class FullSystem:
 
         # TANDEM backend call on the active window
         if self.backend is not None:
+            t_del = self.timer.start_timing("kf_deliver")
             self._deliver_dr_frame(kf)
+            self.timer.end_timing("kf_deliver", t_del)
 
         t_ref = self.timer.start_timing("kf_set_ref")
         # Refresh the coarse-tracking reference (sparse BA points + dense)
