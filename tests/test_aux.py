@@ -9,7 +9,8 @@ import jax
 import jax.numpy as jnp
 
 from tandem_tpu.eval.ate import (align_horn, associate, evaluate_ate,
-                                 evaluate_rpe)
+                                 evaluate_rpe, evaluate_rpe_stamped,
+                                 rpe_stats)
 from tandem_tpu.data.augment import augment_batch, color_jitter, motion_blur
 from tandem_tpu.utils.timer import Timer
 
@@ -36,6 +37,71 @@ def test_rpe_identity():
     res = evaluate_rpe(poses, [p.copy() for p in poses])
     assert res["trans_rmse"] < 1e-12
     assert res["rot_rmse"] < 1e-12
+
+
+def _traj_line(n, step_t, step_rot=0.0, dt=0.1):
+    """{stamp: 4x4} straight-line trajectory: x += step_t, yaw += step_rot."""
+    traj = {}
+    for i in range(n):
+        c, s = np.cos(step_rot * i), np.sin(step_rot * i)
+        T = np.eye(4)
+        T[:2, :2] = [[c, -s], [s, c]]
+        T[0, 3] = step_t * i
+        traj[round(i * dt, 6)] = T
+    return traj
+
+
+def test_rpe_stamped_fixed_delta_frames():
+    # gt steps 0.10 m/frame, est 0.11 m/frame -> per-pair error 0.01*d m.
+    gt = _traj_line(20, 0.10)
+    est = _traj_line(20, 0.11)
+    for d in (1, 4):
+        rows = evaluate_rpe_stamped(gt, est, fixed_delta=True, delta=d,
+                                    delta_unit="f")
+        te = np.array([r[4] for r in rows])
+        assert len(rows) == 20 - d - 1  # pairs hitting the last index drop
+        np.testing.assert_allclose(te, 0.01 * d, atol=1e-9)
+
+
+def test_rpe_stamped_rotation_and_seconds():
+    # yaw drift 0.005 rad/frame; stamps at 10 Hz, delta = 0.5 s = 5 frames.
+    gt = _traj_line(20, 0.1, step_rot=0.020)
+    est = _traj_line(20, 0.1, step_rot=0.025)
+    rows = evaluate_rpe_stamped(gt, est, fixed_delta=True, delta=0.5,
+                                delta_unit="s")
+    re = np.array([r[5] for r in rows])
+    np.testing.assert_allclose(re, 0.005 * 5, atol=1e-9)
+    stats = rpe_stats(rows)
+    assert abs(stats["rot_rmse"] - 0.025) < 1e-9
+
+
+def test_rpe_stamped_meters_unit():
+    # est moves 0.11 m/frame; delta=0.33 m -> closest index 3 frames away.
+    gt = _traj_line(20, 0.10)
+    est = _traj_line(20, 0.11)
+    rows = evaluate_rpe_stamped(gt, est, fixed_delta=True, delta=0.33,
+                                delta_unit="m")
+    te = np.array([r[4] for r in rows])
+    np.testing.assert_allclose(te, 0.01 * 3, atol=1e-9)
+
+
+def test_rpe_stamped_all_pairs_and_max_pairs():
+    gt = _traj_line(6, 0.10)
+    est = _traj_line(6, 0.11)
+    rows = evaluate_rpe_stamped(gt, est, max_pairs=10000)  # 6 < sqrt(1e4)
+    assert len(rows) == 36  # all i,j pairs incl. i==j
+    capped = evaluate_rpe_stamped(_traj_line(30, 0.1), _traj_line(30, 0.11),
+                                  fixed_delta=True, delta=1, delta_unit="f",
+                                  max_pairs=5)
+    assert len(capped) == 5
+
+
+def test_rpe_stamped_scale_compensates():
+    gt = _traj_line(15, 0.10)
+    est = _traj_line(15, 0.11)
+    rows = evaluate_rpe_stamped(gt, est, fixed_delta=True, delta=1,
+                                delta_unit="f", scale=0.10 / 0.11)
+    assert rpe_stats(rows)["trans_rmse"] < 1e-9
 
 
 def test_associate():
@@ -146,3 +212,45 @@ def test_panel_output_wrapper(tmp_path):
     # valid depth uses the rainbow ramp (colored, not grayscale)
     mid = panel[8:, W:2 * W].astype(int)
     assert np.abs(mid[..., 0] - mid[..., 2]).max() > 30
+
+
+def test_tb_logger_summaries(tmp_path, rng):
+    """All four IO.SUMMARIES groups (image/depth/confidence/warp —
+    tb_logger.py:172-243) write image events without error."""
+    from tandem_tpu.train.tb_logger import TBLogger, _HAS_TB
+    if not _HAS_TB:
+        pytest.skip("tensorboard not available")
+
+    V, H, W = 3, 32, 32
+    batch = {
+        "image": rng.rand(1, V, 3, H, W).astype(np.float32),
+        "image_noaug": rng.rand(1, V, 3, H, W).astype(np.float32),
+        "cam_to_world": np.broadcast_to(np.eye(4, dtype=np.float32),
+                                        (1, V, 4, 4)).copy(),
+        "depth_max": np.array([4.0], np.float32),
+        "depth": {}, "mask": {}, "intrinsics": {},
+    }
+    outputs = {}
+    for i, (s, sc) in enumerate(zip(("stage1", "stage2", "stage3"),
+                                    (4, 2, 1))):
+        h, w = H // sc, W // sc
+        batch["depth"][s] = 1.0 + rng.rand(1, h, w).astype(np.float32)
+        batch["mask"][s] = (rng.rand(1, h, w) > 0.1)
+        K = np.array([[20.0 / sc, 0, (w - 1) / 2],
+                      [0, 20.0 / sc, (h - 1) / 2], [0, 0, 1]], np.float32)
+        batch["intrinsics"][s] = {"K": K[None]}
+        outputs[s] = {"depth": 1.0 + rng.rand(1, h, w).astype(np.float32),
+                      "confidence": rng.rand(1, h, w).astype(np.float32)}
+    for v in range(V):
+        batch["cam_to_world"][0, v, 0, 3] = 0.05 * v
+
+    logger = TBLogger(str(tmp_path), samples_per_step=2, enabled=True)
+    logger.add_summaries("train", batch, outputs, global_step=3,
+                         summaries=("image", "depth", "confidence", "warp"))
+    logger.flush()
+    logger.close()
+    events = [os.path.join(r, f) for r, _, fs in os.walk(tmp_path)
+              for f in fs if "tfevents" in f]
+    assert events, "no event files written"
+    assert max(os.path.getsize(e) for e in events) > 10_000, (
+        "image summaries missing (event file too small)")
