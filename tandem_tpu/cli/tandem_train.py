@@ -60,8 +60,18 @@ def main(args):
         # coordinator from the environment (SLURM/TPU pod metadata) — the
         # reference's slurm_ddp_setup + NCCL init equivalent
         # (cva_mvsnet/utils.py:23-37); collectives ride ICI within a slice
-        # and DCN across slices.
-        jax.distributed.initialize()
+        # and DCN across slices. TANDEM_COORDINATOR/TANDEM_NUM_PROCESSES/
+        # TANDEM_PROCESS_ID override auto-detection for manual localhost
+        # launches — the reference's debug-ddp MASTER_ADDR/RANK trick
+        # (train.py:75-89, configs/default.yaml:88-91).
+        coord = os.environ.get("TANDEM_COORDINATOR")
+        if coord:
+            jax.distributed.initialize(
+                coordinator_address=coord,
+                num_processes=int(os.environ["TANDEM_NUM_PROCESSES"]),
+                process_id=int(os.environ["TANDEM_PROCESS_ID"]))
+        else:
+            jax.distributed.initialize()
         mesh = make_mesh()
         world = mesh.devices.size
     elif device_mode == "mesh":
@@ -102,13 +112,21 @@ def main(args):
         else:
             state = loaded
 
-    step_fn = make_train_step(model, config, mesh=mesh)
+    summaries = tuple(config.get("IO.SUMMARIES") or ())
+    step_fn = make_train_step(model, config, mesh=mesh,
+                              with_outputs=bool(summaries))
     logger = TBLogger(args.out_dir, samples_per_step=batch_size)
     aug_key = jax.random.PRNGKey(config["TRAIN.SEED"] + 1)
 
     ckpt_dir = os.path.join(args.out_dir, "ckpt")
     global_step = 0
+    compiled_step = None
+    rank0 = jax.process_index() == 0
+    max_steps = int(config.get("TRAIN.MAX_STEPS", 0) or 0)
+    done = False
     for epoch in range(config["TRAIN.EPOCHS"]):
+        if done:
+            break
         for batch in make_batches(ds, batch_size,
                                   shuffle=config["TRAIN.SHUFFLE"],
                                   drop_last=config["TRAIN.DROP_LAST"],
@@ -126,7 +144,20 @@ def main(args):
             if mesh is not None:
                 with mesh:
                     sharded = shard_batch(batch, mesh)
-                    state, metrics = step_fn(state, sharded)
+                    if device_mode == "multihost" and compiled_step is None:
+                        # AOT-compile BEFORE the first collective execution,
+                        # then rendezvous at a coordination-service barrier:
+                        # XLA:CPU's gloo context init times out after 30 s,
+                        # which compile-time skew between ranks would blow.
+                        compiled_step = step_fn.lower(state,
+                                                      sharded).compile()
+                        from jax._src import distributed as _dist
+                        _dist.global_state.client.wait_at_barrier(
+                            "tandem_train_compiled", 1_800_000)
+                    if compiled_step is not None:
+                        state, metrics = compiled_step(state, sharded)
+                    else:
+                        state, metrics = step_fn(state, sharded)
             else:
                 dev_batch = jax.tree_util.tree_map(jnp.asarray, {
                     k: batch[k] for k in ("image", "cam_to_world",
@@ -135,7 +166,16 @@ def main(args):
                 state, metrics = step_fn(state, dev_batch)
 
             if global_step % config["IO.LOG_INTERVAL"] == 0:
-                m = jax.device_get(metrics)
+                outputs = metrics.pop("_outputs", None)
+                # Scalar metrics are psum-replicated: fetch without a
+                # collective (host_local). _outputs stay batch-sharded, so
+                # their fetch IS an allgather — fine, every rank logs
+                # symmetrically at the same steps.
+                m = host_local(metrics)
+                if outputs is not None:
+                    logger.add_summaries(
+                        "train", batch, jax.device_get(outputs), global_step,
+                        summaries=summaries)
                 loss = float(m["loss"])
                 print(f"epoch {epoch} step {global_step} loss {loss:.4f}")
                 losses = {k: v for k, v in m.items() if "loss" in k}
@@ -146,8 +186,12 @@ def main(args):
                         errors.setdefault(s, {})[name] = v
                 logger.add_scalars("train", losses, errors, global_step)
             global_step += 1
+            if max_steps and global_step >= max_steps:
+                done = True
+                break
 
-        save_checkpoint(ckpt_dir, state)
+        if rank0:  # checkpoint IO is rank-gated (replacing rank_zero_only)
+            save_checkpoint(ckpt_dir, state)
         logger.flush()
     logger.close()
 

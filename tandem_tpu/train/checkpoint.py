@@ -26,6 +26,20 @@ def save_checkpoint(ckpt_dir: str, state, step: Optional[int] = None):
     payload = {"params": state.params, "batch_stats": state.batch_stats,
                "opt_state": state.opt_state,
                "step": jnp.asarray(state.step)}
+    # Host-local copy WITHOUT any collective: the caller rank-gates
+    # multi-host saves (cli/tandem_train.py), and both orbax and
+    # jax.device_get turn a multi-process global array into a cross-host
+    # allgather — a collective only rank 0 would enter, deadlocking the
+    # other ranks' Gloo/ICI context (observed: GetKeyValue() 30 s timeout).
+    # Train state is replicated (out_specs=P()), so every process holds the
+    # full value in its first addressable shard.
+    def _host(x):
+        if isinstance(x, jax.Array) and not x.is_fully_addressable:
+            assert x.sharding.is_fully_replicated, (
+                "rank-gated checkpoint save needs replicated state")
+            return np.asarray(x.addressable_data(0))
+        return np.asarray(x)
+    payload = jax.tree_util.tree_map(_host, payload)
     ckptr.save(path, payload)
     ckptr.wait_until_finished()
     return path

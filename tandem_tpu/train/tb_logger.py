@@ -70,24 +70,110 @@ class TBLogger:
         self.writers[writer].add_scalar("lr", float(lr),
                                         self.global_sample(global_step))
 
+    STAGES = ("stage1", "stage2", "stage3")
+
     def add_summaries(self, writer: str, batch: Dict, outputs: Dict,
-                      global_step: int, max_views: int = 7):
-        """Image summaries: view strip + stage3 depth gt/pred + confidence."""
+                      global_step: int, max_views: int = 7,
+                      summaries=("image", "depth", "confidence")):
+        """Image summaries (reference tb_logger.py:172-243 groups):
+
+        * ``image``  — multi-view strip (+ un-augmented strip when present).
+        * ``depth``  — per-stage gt / pred / abs error / relative error, all
+          masked and scaled by the sample's depth_max.
+        * ``confidence`` — per-stage confidence and the valid-pixel mask.
+        * ``warp``   — per-stage strip of every view warped into the
+          reference at GT depth + per-view photometric error (the reference
+          declares this group but nothing upstream produces its inputs; here
+          it is computed live with ops.warp when requested).
+        """
         if not self.enabled:
             return
         w = self.writers[writer]
         x = self.global_sample(global_step)
-        img = np.asarray(batch["image"][0])       # (V, 3, H, W)
-        strip = np.concatenate(list(img[:max_views]), axis=2)
-        w.add_image("image/views", np.clip(strip, 0, 1), x)
 
-        gt = np.asarray(batch["depth"]["stage3"][0])
-        pred = np.asarray(outputs["stage3"]["depth"][0])
-        vmax = max(float(gt.max()), 1e-6)
-        w.add_image("depth/gt", _colorize_plasma(gt, 0, vmax), x)
-        w.add_image("depth/pred", _colorize_plasma(pred, 0, vmax), x)
-        conf = np.asarray(outputs["stage3"]["confidence"][0])
-        w.add_image("confidence/stage3", _colorize_plasma(conf, 0, 1), x)
+        if "image" in summaries:
+            img = np.asarray(batch["image"][0])       # (V, 3, H, W)
+            strip = np.concatenate(list(img[:max_views]), axis=2)
+            w.add_image("0.multi_view_image", np.clip(strip, 0, 1), x)
+            if "image_noaug" in batch:
+                strip0 = np.concatenate(
+                    list(np.asarray(batch["image_noaug"][0])[:max_views]),
+                    axis=2)
+                w.add_image("0.multi_view_image_noaug",
+                            np.clip(strip0, 0, 1), x)
+
+        if "depth" in summaries:
+            dmax = max(float(np.asarray(batch["depth_max"][0])), 1e-6)
+            for stage in self.STAGES:
+                gt = np.asarray(batch["depth"][stage][0])
+                pred = np.asarray(outputs[stage]["depth"][0])
+                mask = np.asarray(batch["mask"][stage][0]).astype(np.float32)
+                err = np.abs(gt - pred) * mask
+                w.add_image(f"1.depth_gt/{stage}",
+                            _colorize_plasma(gt, 0, dmax), x)
+                w.add_image(f"2.depth_pred/{stage}",
+                            _colorize_plasma(pred, 0, dmax), x)
+                w.add_image(f"3.depth_err_abs/{stage}",
+                            _colorize_plasma(err, 0, dmax), x)
+                w.add_image(f"4.depth_err_rel/{stage}",
+                            _colorize_plasma(err, 0, max(err.max(), 1e-12)),
+                            x)
+
+        if "confidence" in summaries:
+            for stage in self.STAGES:
+                conf = np.asarray(outputs[stage]["confidence"][0])
+                w.add_image(f"5.confidence/{stage}",
+                            _colorize_plasma(conf, 0, 1), x)
+                mask = np.asarray(batch["mask"][stage][0]).astype(np.float32)
+                w.add_image(f"6.mask/{stage}", mask[None], x)
+
+        if "warp" in summaries:
+            self._add_warp_summaries(w, batch, x, max_views)
+
+    def _add_warp_summaries(self, w, batch: Dict, x: int, max_views: int):
+        """Warp every source view into the reference at GT depth and log the
+        warped strip + per-view photometric error (tb_logger.py:226-243)."""
+        import jax.numpy as jnp
+
+        from ..ops.warp import plane_sweep_warp
+
+        img = np.asarray(batch["image"][0])        # (V, 3, H, W)
+        c2w = np.asarray(batch["cam_to_world"][0])  # (V, 4, 4)
+        V = min(img.shape[0], max_views)
+        for stage in self.STAGES:
+            gt = np.asarray(batch["depth"][stage][0])   # (h, w)
+            K = np.asarray(batch["intrinsics"][stage]["K"][0])
+            if K.ndim == 3:
+                K = K[0]
+            h, ww = gt.shape
+            scale_y, scale_x = h / img.shape[2], ww / img.shape[3]
+            warped, masks = [], []
+            depth = jnp.asarray(gt)[None, None]          # (1, 1, h, w)
+            for v in range(V):
+                src = img[v]
+                if (scale_y, scale_x) != (1.0, 1.0):
+                    ys = (np.arange(h) / scale_y).astype(int).clip(
+                        0, img.shape[2] - 1)
+                    xs = (np.arange(ww) / scale_x).astype(int).clip(
+                        0, img.shape[3] - 1)
+                    src = src[:, ys][:, :, xs]
+                feat = jnp.asarray(src.transpose(1, 2, 0))[None]
+                out, mask = plane_sweep_warp(
+                    feat, depth, src_K=jnp.asarray(K)[None],
+                    src_cam_to_world=jnp.asarray(c2w[v])[None],
+                    ref_K=jnp.asarray(K)[None],
+                    ref_cam_to_world=jnp.asarray(c2w[0])[None])
+                warped.append(np.asarray(out[0, 0]).transpose(2, 0, 1))
+                masks.append(np.asarray(mask[0, 0], np.float32))
+            strip = np.concatenate(warped, axis=2)
+            w.add_image(f"7.warp_image/{stage}", np.clip(strip, 0, 1), x)
+            w.add_image(f"8.warp_mask/{stage}",
+                        np.concatenate(masks, axis=1)[None], x)
+            errs = [_colorize_plasma(
+                np.abs(wv - warped[0]).mean(0) * m, 0, None)
+                for wv, m in zip(warped, masks)]
+            w.add_image(f"9.warp_error/{stage}",
+                        np.concatenate(errs, axis=2), x)
 
     def flush(self):
         for w in self.writers.values():

@@ -133,21 +133,45 @@ def _loss_fn(params, batch_stats, model, batch, loss_cfg):
 
 def make_train_step(model: CvaMVSNet, config: Dict[str, Any],
                     mesh: Optional[Mesh] = None,
-                    with_metrics: bool = True) -> Callable:
+                    with_metrics: bool = True,
+                    with_outputs: bool = False) -> Callable:
+    """Build the jitted train step.
+
+    ``with_outputs`` adds the per-stage model outputs (device-resident, lazy)
+    under metrics["_outputs"] so the caller can emit TB image summaries at
+    log intervals without a second forward pass.
+    """
     loss_cfg = dict(weights=tuple(config["LOSS.STAGE_WEIGHTS"]),
                     loss_terms=tuple(config["LOSS.TERMS"]),
                     term_weights=tuple(config["LOSS.TERM_WEIGHTS"]))
+
+    sam_rho = float(config.get("TRAIN.SAM_RHO", 0.05))
+    use_sam = bool(config.get("TRAIN.SAM", False))
 
     def step(state: TrainState, batch):
         grad_fn = jax.value_and_grad(_loss_fn, has_aux=True)
         (loss, (losses, out, new_stats)), grads = grad_fn(
             state.params, state.batch_stats, model, batch, loss_cfg)
+        if use_sam:
+            # SAM two-step (reference module.py:1568-1629, adaptive=False):
+            # first_step climbs e_w = rho * g / ||g||, the closure re-runs the
+            # full forward-backward there, second_step restores the base
+            # params and applies the perturbed-point gradient. The loss/
+            # metrics reported stay those of the base point; batch_stats
+            # follow the last forward pass (like the torch closure, whose BN
+            # running stats are updated by both passes — last one wins).
+            from .utils import sam_perturb
+            perturbed = sam_perturb(state.params, grads, rho=sam_rho)
+            (_, (_, _, new_stats)), grads = grad_fn(
+                perturbed, state.batch_stats, model, batch, loss_cfg)
         new_state = state.apply_gradients(grads, new_stats)
         metrics = {"loss": loss, **losses}
         if with_metrics:
             errs = eval_errors(out, batch)
             metrics.update({f"{s}/{k}": v for s, d in errs.items()
                             for k, v in d.items()})
+        if with_outputs:
+            metrics["_outputs"] = out
         return new_state, metrics
 
     if mesh is None:
@@ -181,15 +205,43 @@ def _example_batch_spec():
 
 
 def shard_batch(batch, mesh: Mesh):
-    """Device-put a host batch with the leading axis sharded over 'data'."""
+    """Device-put a host batch with the leading axis sharded over 'data'.
+
+    Works for multi-process meshes too (the multi-host DCN path,
+    cli/tandem_train.py TRAIN.DEVICE=multihost): every process passes the
+    same GLOBAL batch — the reference's debug-ddp discipline
+    (cva_mvsnet/train.py:75-89) — and only its addressable shards are
+    materialized via jax.make_array_from_callback.
+    """
     sharding = NamedSharding(mesh, P("data"))
     spec = _example_batch_spec()
+    multiproc = jax.process_count() > 1
 
     def put(path_val, template):
         if isinstance(template, dict):
             return {k: put(path_val[k], template[k]) for k in template}
-        return jax.device_put(jnp.asarray(path_val), sharding)
+        arr = np.asarray(path_val)
+        if multiproc:
+            return jax.make_array_from_callback(arr.shape, sharding,
+                                                lambda idx: arr[idx])
+        return jax.device_put(jnp.asarray(arr), sharding)
     return put(batch, spec)
+
+
+def host_local(tree):
+    """Fetch a pytree of REPLICATED arrays to host numpy without any
+    collective. ``jax.device_get`` on a multi-process global array issues a
+    cross-host allgather (a Gloo/ICI collective every rank must enter);
+    replicated values are already fully present in each process's first
+    addressable shard, so this is a pure local copy — safe to call from a
+    rank-gated branch and free of cross-host traffic."""
+    def _host(x):
+        if isinstance(x, jax.Array) and not x.is_fully_addressable:
+            assert x.sharding.is_fully_replicated, (
+                "host_local is only valid for replicated arrays")
+            return np.asarray(x.addressable_data(0))
+        return np.asarray(x)
+    return jax.tree_util.tree_map(_host, tree)
 
 
 def make_eval_step(model: CvaMVSNet) -> Callable:

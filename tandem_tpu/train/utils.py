@@ -85,19 +85,14 @@ def warmup_multi_step_lr(base_lr: float, milestones: Sequence[int],
     return fn
 
 
-def sam(base_optimizer: optax.GradientTransformation, rho: float = 0.05):
-    """Sharpness-Aware Minimization as an optax transformation.
-
-    Matches the two-step SAM of the reference (module.py:1568-1629): the
-    caller computes gradients twice — once at params, once at the perturbed
-    params returned by ``sam_perturb`` — and applies the second gradient with
-    the base optimizer. Helper functions below implement both phases.
-    """
-    return base_optimizer  # base step applies the second gradient
-
-
 def sam_perturb(params, grads, rho: float = 0.05):
-    """First SAM step: climb to the local worst case (e_w = rho g/||g||)."""
+    """SAM first step: climb to the local worst case (e_w = rho g/||g||).
+
+    The second step is plain ``tx.update`` with the gradient taken at the
+    perturbed point — wired into the training step by
+    ``trainer.make_train_step`` when config ``TRAIN.SAM`` is set (reference
+    two-step semantics: module.py:1568-1629, adaptive=False).
+    """
     gnorm = optax.global_norm(grads)
     scale = rho / (gnorm + 1e-12)
     return jax.tree_util.tree_map(lambda p, g: p + scale * g, params, grads)

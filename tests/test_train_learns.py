@@ -69,6 +69,65 @@ def test_trainer_overfits_fixture():
 
 
 @pytest.mark.slow
+def test_sam_step_two_pass_semantics():
+    """TRAIN.SAM wires the two-step SAM (module.py:1568-1629): the update
+    must equal applying the base optimizer to the gradient taken at
+    params + rho*g/||g|| — checked against a hand-rolled two-pass step —
+    and must differ from the plain step."""
+    from tandem_tpu.train.trainer import _loss_fn
+    from tandem_tpu.train.utils import sam_perturb
+
+    import optax
+
+    config = _small_config()
+    config["TRAIN.SAM"] = True
+    config["TRAIN.SAM_RHO"] = 0.05
+    batch = jax.tree_util.tree_map(jnp.asarray, _fixture_batch(config))
+    model, state0 = create_train_state(config, jax.random.PRNGKey(1), 50,
+                                       example_shape=(1, 7, 96, 128))
+    # Swap Adam for SGD(1.0): params_new = params - grad, so the parameter
+    # comparison directly reflects the GRADIENT the step applied (Adam's
+    # sign-normalized updates would turn last-bit grad noise into full
+    # +-lr flips on near-zero entries).
+    sgd = optax.sgd(1.0)
+    base = state0.replace(tx=sgd, opt_state=sgd.init(state0.params))
+
+    # Hand-rolled reference FIRST (the jitted step donates + deletes state):
+    # two explicit forward-backward passes.
+    loss_cfg = dict(weights=tuple(config["LOSS.STAGE_WEIGHTS"]),
+                    loss_terms=tuple(config["LOSS.TERMS"]),
+                    term_weights=tuple(config["LOSS.TERM_WEIGHTS"]))
+    grad_fn = jax.value_and_grad(_loss_fn, has_aux=True)
+    (_, (_, _, _)), g1 = grad_fn(base.params, base.batch_stats, model,
+                                 batch, loss_cfg)
+    perturbed = sam_perturb(base.params, g1, rho=0.05)
+    (_, (_, _, stats2)), g2 = grad_fn(perturbed, base.batch_stats, model,
+                                      batch, loss_cfg)
+    expect_params = jax.device_get(base.apply_gradients(g2, stats2).params)
+    plain_params = jax.device_get(base.apply_gradients(g1, stats2).params)
+
+    sam_state, _ = make_train_step(model, config, mesh=None,
+                                   with_metrics=False)(base, batch)
+    got = jax.device_get(sam_state.params)
+
+    def dist(a, b):
+        return float(np.sqrt(jax.tree_util.tree_reduce(
+            lambda acc, x: acc + float((x ** 2).sum()),
+            jax.tree_util.tree_map(lambda p, q: p - q, a, b), 0.0)))
+
+    # The jitted step must land on the hand-rolled two-pass SAM point, far
+    # closer to it than to the single-pass point. (Exact equality is
+    # ill-conditioned: the second gradient is taken at a perturbed point,
+    # so f32 reassociation noise in g1 is amplified by local curvature.)
+    d_impl = dist(got, expect_params)
+    d_wiring = dist(got, plain_params)
+    assert d_wiring > 1e-4, "SAM step equals the plain step — not wired"
+    assert d_impl < 0.05 * d_wiring, (
+        f"jitted SAM step is {d_impl:.2e} from the hand-rolled two-pass "
+        f"point but only {d_wiring:.2e} from the plain step")
+
+
+@pytest.mark.slow
 def test_mesh_train_step_matches_single_device():
     """The 8-device DP step is the SAME optimization: identical init +
     identical global batch must reproduce the single-device loss
