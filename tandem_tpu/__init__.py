@@ -33,6 +33,14 @@ if not _os.environ.get("TANDEM_NO_JIT_CACHE"):
     _jax_cache.config.update("jax_persistent_cache_min_compile_time_secs",
                              1.0)
 
+if (_os.environ.get("TANDEM_PLATFORM") == "cpu"
+        and "xla_cpu_max_isa" not in _os.environ.get("XLA_FLAGS", "")):
+    # Pin the CPU compile target (AVX2) so persistent-cache AOT blobs are
+    # portable across heterogeneous hosts (VERDICT r4 item 8). Must land in
+    # the env before the first backend initialization.
+    _os.environ["XLA_FLAGS"] = (_os.environ.get("XLA_FLAGS", "")
+                                + " --xla_cpu_max_isa=AVX2").strip()
+
 if _os.environ.get("TANDEM_PLATFORM"):
     # Force the JAX platform for every tandem CLI/entry point. A plain
     # ``JAX_PLATFORMS=cpu`` env var is not enough on managed hosts whose

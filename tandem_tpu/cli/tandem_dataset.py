@@ -50,6 +50,20 @@ def read_calib(path):
             float(und.K[1, 2]), und.w, und.h)
 
 
+def playback_gate(target: float, since_start: float, frame_parity: int):
+    """Timed-playback decision (main_tandem_pangolin.cpp:216-228):
+    returns ('sleep', seconds) when ahead of schedule, ('skip', lateness)
+    when more than 0.5 + 0.1*(parity) s behind, else ('ok', 0.0). The
+    parity jitter staggers skips so consecutive frames don't all drop on
+    the same threshold."""
+    if since_start < target:
+        return "sleep", target - since_start
+    late = since_start - target
+    if late > 0.5 + 0.1 * (frame_parity % 2):
+        return "skip", late
+    return "ok", 0.0
+
+
 def main(argv=None):
     s = parse_args(argv if argv is not None else sys.argv[1:])
     assert s.files, "files=IMG_DIR required"
@@ -153,10 +167,38 @@ def main(argv=None):
         # Play the sequence backwards (commandline.cpp reverse=1).
         indices.reverse()
 
+    # Timed playback (main_tandem_pangolin.cpp:216-228): with speed=S the
+    # frame at dataset timestamp t plays at wall time (t - t0)/S; the loop
+    # sleeps when ahead and SKIPS the frame when it has fallen more than
+    # ~0.5 s behind (catch-up under load). speed=0 -> linearize mode, every
+    # frame processed.
+    times_to_play = None
+    if s.playback_speed > 0:
+        stamps = [reader.get_timestamp(ii) for ii in indices]
+        times_to_play = [(t - stamps[0]) / s.playback_speed for t in stamps]
+
     t_start = time.time()
-    for i in indices:
+    init_offset = 0.0
+    n_skipped = 0
+    for ii, i in enumerate(indices):
+        if times_to_play is not None and not fs.initialized:
+            # Initialization time does not count against playback (DSO
+            # main: reset the clock until the initializer snaps).
+            t_start = time.time()
+            init_offset = times_to_play[ii]
         gray, ts, _ = reader.get_image(i)
         bgr = reader.get_image_bgr(i)
+        if times_to_play is not None:
+            since_start = init_offset + (time.time() - t_start)
+            target = times_to_play[ii]
+            action, amount = playback_gate(target, since_start, ii)
+            if action == "sleep":
+                time.sleep(amount)
+            elif action == "skip":
+                print(f"SKIPFRAME {ii} (play at {target:.3f}, now it is "
+                      f"{since_start:.3f})!")
+                n_skipped += 1
+                continue
         fs.add_active_frame(gray, i, ts, bgr=bgr)
         # Auto-reset within the first 250 frames on init failure / early loss
         # (main_tandem_pangolin.cpp:237-255).

@@ -103,6 +103,10 @@ class ImageFolderReader:
     def __len__(self):
         return len(self.files)
 
+    def get_timestamp(self, idx: int) -> float:
+        """Timestamp only (no decode) — timed-playback scheduling."""
+        return self.timestamps[idx]
+
     def get_image(self, idx: int) -> Tuple[np.ndarray, float, float]:
         """:return: (intensity HxW after undistortion+photometric, timestamp,
         exposure) — ImageAndExposure equivalent. Dtype is uint8 when the

@@ -9,8 +9,14 @@ import os
 os.environ["JAX_PLATFORMS"] = "cpu"
 flags = os.environ.get("XLA_FLAGS", "")
 if "host_platform_device_count" not in flags:
-    os.environ["XLA_FLAGS"] = (
-        flags + " --xla_force_host_platform_device_count=8").strip()
+    flags = (flags + " --xla_force_host_platform_device_count=8").strip()
+if "xla_cpu_max_isa" not in flags:
+    # Pin the CPU compile target: the persistent jit cache is shared across
+    # heterogeneous hosts, and XLA:CPU AOT blobs compiled with the full
+    # native feature set SIGILL-warn (and may crash) on a lesser host.
+    # AVX2 is the portable common denominator (VERDICT r4 item 8).
+    flags = (flags + " --xla_cpu_max_isa=AVX2").strip()
+os.environ["XLA_FLAGS"] = flags
 
 import jax  # noqa: E402
 

@@ -156,3 +156,16 @@ def test_tandem_dataset_cli_reverse(tmp_path):
     assert len(lines) >= 8
     ts = [float(l.split()[0]) for l in lines]
     assert ts == sorted(ts, reverse=True)
+
+
+def test_playback_gate():
+    """Timed-playback catch-up semantics (main_tandem_pangolin.cpp:216-228):
+    sleep when ahead, skip when >0.5(+0.1 parity jitter) s behind."""
+    from tandem_tpu.cli.tandem_dataset import playback_gate
+
+    act, amt = playback_gate(target=1.0, since_start=0.4, frame_parity=0)
+    assert act == "sleep" and abs(amt - 0.6) < 1e-9
+    assert playback_gate(1.0, 1.3, 0)[0] == "ok"      # late but < 0.5
+    assert playback_gate(1.0, 1.55, 0)[0] == "skip"   # > 0.5 (even frame)
+    assert playback_gate(1.0, 1.55, 1)[0] == "ok"     # < 0.6 (odd frame)
+    assert playback_gate(1.0, 1.65, 1)[0] == "skip"
