@@ -36,7 +36,7 @@ def main(args):
     from ..train.checkpoint import (load_any, load_torch_weights,
                                     save_checkpoint)
     from ..train.tb_logger import TBLogger
-    from ..train.trainer import (create_train_state, make_mesh,
+    from ..train.trainer import (create_train_state, host_local, make_mesh,
                                  make_train_step, shard_batch)
 
     config = cfg.default()
@@ -115,13 +115,16 @@ def main(args):
     summaries = tuple(config.get("IO.SUMMARIES") or ())
     step_fn = make_train_step(model, config, mesh=mesh,
                               with_outputs=bool(summaries))
-    logger = TBLogger(args.out_dir, samples_per_step=batch_size)
+    rank0 = jax.process_index() == 0
+    # Multi-host: every process gets the SAME out_dir (shared storage, like
+    # a pod's GCS run dir); only rank 0 writes TB events (rank_zero_only).
+    logger = TBLogger(args.out_dir, samples_per_step=batch_size,
+                      enabled=rank0)
     aug_key = jax.random.PRNGKey(config["TRAIN.SEED"] + 1)
 
     ckpt_dir = os.path.join(args.out_dir, "ckpt")
     global_step = 0
     compiled_step = None
-    rank0 = jax.process_index() == 0
     max_steps = int(config.get("TRAIN.MAX_STEPS", 0) or 0)
     done = False
     for epoch in range(config["TRAIN.EPOCHS"]):
@@ -190,8 +193,12 @@ def main(args):
                 done = True
                 break
 
-        if rank0:  # checkpoint IO is rank-gated (replacing rank_zero_only)
-            save_checkpoint(ckpt_dir, state)
+        # EVERY process calls save (orbax's save itself is a cross-process
+        # collective: async_checkpointer.py sync_global_processes — a
+        # rank-gated call deadlocks the other ranks' Gloo contexts). Orbax
+        # rank-gates the actual writes internally; the payload is fetched
+        # without collectives (checkpoint.py host-local copy).
+        save_checkpoint(ckpt_dir, state)
         logger.flush()
     logger.close()
 
