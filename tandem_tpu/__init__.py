@@ -41,6 +41,22 @@ if (_os.environ.get("TANDEM_PLATFORM") == "cpu"
     _os.environ["XLA_FLAGS"] = (_os.environ.get("XLA_FLAGS", "")
                                 + " --xla_cpu_max_isa=AVX2").strip()
 
+_prec = _os.environ.get("TANDEM_MATMUL_PRECISION", "highest")
+if _prec != "default":
+    # TPU MXU precision: XLA:TPU's DEFAULT matmul/conv precision is lossier
+    # than a native bf16xbf16->f32 pass — measured on the trained 640x480
+    # cascade, golden depth MAE 1.8e-1 at default vs 9e-3 at highest for the
+    # SAME bf16 weights/activations (experiments/tpu_bf16_dtype_probe.py,
+    # docs/PERF.md round 5). The BA/tracker einsums accumulate thousands of
+    # residual terms and would silently degrade the same way. 'highest' with
+    # bf16 inputs IS the native MXU mode (f32 accumulation), so the flagship
+    # bf16 compute path keeps full MXU throughput; f32 einsums pay 6-pass
+    # cost where they occur. Override with TANDEM_MATMUL_PRECISION=default
+    # to benchmark the lossy mode. CPU is unaffected (f32 stays f32).
+    import jax as _jax_prec
+
+    _jax_prec.config.update("jax_default_matmul_precision", _prec)
+
 if _os.environ.get("TANDEM_PLATFORM"):
     # Force the JAX platform for every tandem CLI/entry point. A plain
     # ``JAX_PLATFORMS=cpu`` env var is not enough on managed hosts whose
