@@ -724,6 +724,18 @@ class FullSystem:
                     self.ba_state, host_kf.immature, host_kf.slot,
                     jnp.asarray(host_kf.c2w.astype(np.float32)), tgt_c2w,
                     img, host_kf.image, self.K)
+                if os.environ.get("TANDEM_DEBUG_ACTIVATION"):
+                    # Immature-health introspection (costs one fetch per
+                    # host KF — debug only). Status counts expose map
+                    # starvation: a window whose hosts are mostly
+                    # OOB/OUTLIER cannot replenish the active set.
+                    st = np.bincount(np.asarray(
+                        jax.device_get(host_kf.immature.status)),
+                        minlength=5)
+                    print(f"ACT kf{frame_id} host{host_kf.frame_id}: "
+                          f"uninit/good/oob/out = "
+                          f"{int(st[0])}/{int(st[1])}/{int(st[2])}/"
+                          f"{int(st[3])}")
 
         self.timer.end_timing("kf_activate", t_act)
         # RGB-D: seed points in the new KF directly from sensor depth

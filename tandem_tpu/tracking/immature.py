@@ -229,14 +229,21 @@ def activate_points(pts: ImmaturePoints, host_c2w, target_c2w, target_img, K):
     idep, _ = lax.scan(gn_step, idep0, None, length=GN_ITERS)
     r, inb = energy(idep)
     e = jnp.sum(r * r, -1)
-    # Maturity (DSO canActivate, FullSystem.cpp activatePoints): the LAST
-    # real epipolar search must have been short (lastTracePixelInterval
-    # < 8 px — with trace_points' pixel-error interval update this only
-    # happens once real baseline has accumulated, so small-parallax
-    # candidates never activate on noise) and unambiguous (quality >
-    # setting_minTraceQuality — rejects plateau matches from flat decor
-    # regions). The GN refine above then polishes idepth to sub-pixel.
+    # Maturity (DSO canActivate, FullSystem.cpp:778-785): every status
+    # EXCEPT outlier may activate — including points whose LAST trace was
+    # skipped for tiny baseline (IPS_SKIPPED) or left the trace target
+    # (IPS_OOB); what gates maturity is the short accumulated search
+    # interval (lastTracePixelInterval < 8 px, which only happens once
+    # real baseline has accumulated) and match unambiguity (quality >
+    # setting_minTraceQuality — rejects plateau matches from flat decor).
+    # Requiring GOOD-on-last-trace instead starves the map during
+    # rotation-heavy segments where most traces are SKIPPED (measured on
+    # the adversarial fixture: window active points 840 -> 114 over one
+    # pan, then tracking lost). The GN refine polishes idepth to
+    # sub-pixel; its in-bounds + energy checks subsume the reference's
+    # projection-in-newest-frame test.
     ok = pts.valid & inb & (e < (12.0 ** 2) * 8) & \
-        (pts.status == STATUS_GOOD) & (pts.quality > MIN_TRACE_QUALITY) & \
+        (pts.status != STATUS_OUTLIER) & (pts.status != STATUS_UNINIT) & \
+        (pts.quality > MIN_TRACE_QUALITY) & \
         (pts.last_px < MAX_PIXEL_INTERVAL) & (idep > 1e-3)
     return idep, ok

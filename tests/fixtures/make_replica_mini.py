@@ -308,6 +308,190 @@ def make_traj_scene():
           f"{max(d.max() for d in dmins):.2f}] m -> {TRAJ_ROOT}")
 
 
+# --------------------------------------------------------------------------
+# Adversarial trajectory (adv_traj/): the hard-sequence stand-in (VERDICT r4
+# item 4; reference discipline: scripts/tracking_euroc_eval.bash runs 4 EuRoC
+# sequences x 5). 208 frames at 256x192 through the same room, engineered to
+# exercise every runtime failure-handling path in one run:
+#   frames   0- 11  rotation-only opening -> the monocular initializer must
+#                   NOT snap (rotation-only guard) and the CLI auto-reset
+#                   path (main_tandem_pangolin.cpp:237-255) runs in anger;
+#   frames  12- 69  forward+lateral cruise (init snaps once parallax exists);
+#   frames  70-109  strong yaw pan away (rotation-heavy, little baseline);
+#   frames 110-149  pan BACK (occlusion-heavy revisit of earlier structure);
+#   frames 150-155  velocity jerk (~6x the cruise motion in one frame) ->
+#                   the constant-velocity prior fails and the trackNewCoarse
+#                   retry ladder (FullSystem.cpp:600-607) must fire;
+#   frames 156-207  close pass by box 1 (large FoV occluder) + recovery.
+# Photometrically NON-TRIVIAL: stored images are G(e_i * V * L) — a gamma-2.2
+# response, a strong radial vignette (0.55 at the corners) and a +-0.4-stop
+# exposure ramp written to times.txt — so PhotometricUndistorter
+# (Undistort.h:40) and the tracker/BA affine-light chain run end to end.
+# DSO drive format only (images/ + camera_dso + pcalib + vignette + gt_tum):
+# no depth GT is committed, the gate is trajectory ATE (tests/test_vo_ate.py).
+# --------------------------------------------------------------------------
+ADV_ROOT = os.path.join(os.path.dirname(__file__), "adv_traj")
+A_FRAMES = 208
+# Extra structure along the ANGLED SIDE WALL, in view during the yaw pan:
+# without it the pan's view degenerates to a single textured plane — the
+# monocular homography gauge (verify-skill plane caveat) and the window
+# loses conditioning right there (observed: reset at frame ~95 across
+# three trajectory variants).
+ADV_BOXES = BOXES + [
+    (np.array([1.10, 0.30, 2.30]), np.array([1.55, 0.90, 2.75])),
+    (np.array([1.95, 0.10, 2.75]), np.array([2.45, 0.90, 3.20])),
+    (np.array([0.60, -0.60, 2.60]), np.array([1.10, -0.20, 3.05])),
+]
+GAMMA = 2.2
+VIG_MIN = 0.70
+
+
+def adv_poses():
+    segs = []
+    # 0-11: rotation-only (yaw sweep, zero translation) — init must refuse.
+    for i in range(12):
+        segs.append((0.030 * i, 0.10, 0.0, np.array([-0.30, -0.10, -0.35])))
+    # 12-69: cruise. ~1.1 cm/frame forward+lateral, mild yaw back to 0.
+    for i in range(58):
+        u = i / 57.0
+        t = np.array([-0.30 + 0.42 * u, -0.10 + 0.015 * np.sin(4 * u * np.pi),
+                      -0.35 + 0.30 * u])
+        segs.append((0.36 - 0.30 * u, 0.10 + 0.01 * np.sin(3 * u * np.pi),
+                     0.006 * np.sin(2 * u * np.pi), t))
+    # 70-109: rotation-heavy ORBIT away: +0.55 rad yaw over 40 frames while
+    # arcing right/forward (~1.2 cm/frame baseline, so immature points can
+    # still mature — pure pans starve monocular depth, which is a real DSO
+    # failure mode, not a robustness test).
+    for i in range(40):
+        u = i / 39.0
+        yaw = 0.06 + 0.45 * u
+        t = np.array([0.12 + 0.85 * (np.sin(yaw) - np.sin(0.06)),
+                      -0.085,
+                      -0.05 - 0.70 * (np.cos(yaw) - np.cos(0.06))])
+        segs.append((yaw, 0.10, 0.0, t))
+    t_pan = segs[-1][3]
+    # 110-149: orbit BACK (occlusion-heavy revisit of earlier structure).
+    for i in range(40):
+        u = i / 39.0
+        yaw = 0.51 - 0.48 * u
+        t = np.array([t_pan[0] + 0.80 * (np.sin(yaw) - np.sin(0.51)),
+                      -0.085 + 0.010 * np.sin(3 * u * np.pi),
+                      t_pan[2] - 0.65 * (np.cos(yaw) - np.cos(0.51))])
+        segs.append((yaw, 0.10 + 0.008 * np.sin(2 * u * np.pi), 0.0, t))
+    # 150-155: jerk — ~4x cruise motion per frame, plus a yaw kick. The
+    # constant-velocity prior is wrong by several pixels of flow: the
+    # trackNewCoarse retry ladder must fire and recover.
+    for i in range(6):
+        t = segs[-1][3] + np.array([0.038, 0.006, 0.020])
+        segs.append((0.03 + 0.018 * (i + 1), 0.10, 0.003 * i, t))
+    base = segs[-1][3]
+    # 156-207: close pass by box 1 (near [0.35..0.85]x, z 1.7..2.15) then out.
+    n = A_FRAMES - len(segs)
+    for i in range(n):
+        u = i / (n - 1)
+        t = base + np.array([0.26 * u, -0.015 * np.sin(2 * u * np.pi),
+                             0.55 * u])          # dolly IN toward the box
+        segs.append((0.18 - 0.22 * u, 0.10 + 0.02 * u,
+                     0.006 * np.sin(3 * u * np.pi), t))
+    out = []
+    for yaw, pitch, roll, t in segs:
+        c2w = np.eye(4)
+        c2w[:3, :3] = _rot(yaw, pitch, roll)
+        c2w[:3, 3] = t
+        out.append(c2w)
+    return out
+
+
+def _vignette(h, w):
+    """Radial falloff, 1.0 at center -> VIG_MIN at the far corner."""
+    ys, xs = np.meshgrid(np.arange(h, dtype=np.float64),
+                         np.arange(w, dtype=np.float64), indexing="ij")
+    r2 = (((xs - (w - 1) / 2) / ((w - 1) / 2)) ** 2
+          + ((ys - (h - 1) / 2) / ((h - 1) / 2)) ** 2) / 2.0
+    return 1.0 - (1.0 - VIG_MIN) * r2
+
+
+def adv_exposures():
+    """Per-frame exposure: a slow ~0.8-stop ramp around 0.92 plus a sharp
+    2-frame dip at the jerk (auto-exposure reacting to the dark box).
+    The ceiling keeps e * V * L < 255 everywhere: highlight CLIPPING would
+    flatten the brightest decor patches into gradient-free saturation —
+    a fixture artifact (measured: cruise-segment ATE 70 mm with the
+    clipping ramp vs 10.5 mm without photometrics), not the photometric-
+    robustness stimulus this sequence is for."""
+    e = []
+    for i in range(A_FRAMES):
+        u = i / (A_FRAMES - 1)
+        v = 0.95 + 0.18 * np.sin(2 * np.pi * 1.5 * u)
+        if 150 <= i < 154:
+            v *= 0.80
+        e.append(v)
+    return e
+
+
+def make_adv_scene():
+    scene = os.path.join(ADV_ROOT, "scene0")
+    os.makedirs(os.path.join(scene, "images"), exist_ok=True)
+
+    with open(os.path.join(scene, "camera_dso.txt"), "w") as f:
+        f.write(f"Pinhole {TFX} {TFY} {TCX} {TCY} 0\n{TW} {TH}\n"
+                f"none\n{TW} {TH}\n")
+
+    # Camera response G(x) = 255*(x/255)^(1/GAMMA); pcalib.txt stores the
+    # inverse response G^-1 over stored values 0..255 (DSO pcalib format).
+    p = np.arange(256, dtype=np.float64)
+    with open(os.path.join(scene, "pcalib.txt"), "w") as f:
+        f.write(" ".join(f"{255.0 * (v / 255.0) ** GAMMA:.6f}" for v in p))
+        f.write("\n")
+    vig = _vignette(TH, TW)
+    cv2.imwrite(os.path.join(scene, "vignette.png"),
+                np.round(vig * 65535).astype(np.uint16))
+
+    ps = adv_poses()
+    es = adv_exposures()
+    with open(os.path.join(scene, "gt_tum.txt"), "w") as f:
+        for i, p4 in enumerate(ps):
+            f.write(_mat_to_tum(i / 30.0, p4) + "\n")
+    # times.txt: "id timestamp exposure_ms" (DatasetReader.h:414).
+    with open(os.path.join(scene, "times.txt"), "w") as f:
+        for i, e in enumerate(es):
+            f.write(f"{i:06d} {i / 30.0:.6f} {10.0 * e:.6f}\n")
+
+    # cv2's BGR2GRAY weights — the reader's gray path (data/reader.py:120).
+    GW = np.array([0.299, 0.587, 0.114])
+    for i, (p4, e) in enumerate(zip(ps, es)):
+        rgb, _ = render(p4, w=TW, h=TH, fx=TFX, fy=TFY, cx=TCX, cy=TCY,
+                        boxes=ADV_BOXES, ss=3)
+        # The sensor model must be EXACTLY invertible by the gray-domain
+        # pcalib the reader applies (LUT on cv2 gray): encode the LUMA with
+        # G and scale the RGB so its gray equals G(luma) bit-for-bit —
+        # per-channel gamma would make gray(G(x)) != G(gray(x)) on colored
+        # content, an inconsistency no pcalib can remove (real pcalibs are
+        # calibrated against the sensor's actual gray response).
+        lin = rgb.astype(np.float64) * e * vig[..., None]   # e*V*L, < 255
+        y_lin = lin @ GW
+        y_enc = 255.0 * np.clip(y_lin / 255.0, 0.0, 1.0) ** (1.0 / GAMMA)
+        # stored = luma y_enc + chroma (gray-free by construction: GW.d = 0);
+        # the chroma gain beta shrinks per pixel so no channel clips —
+        # clipping would silently shift the gray.
+        d = lin * (y_enc / np.maximum(y_lin, 1e-6))[..., None] \
+            - y_enc[..., None]
+        with np.errstate(divide="ignore", invalid="ignore"):
+            hi = np.where(d > 1e-9, (255.0 - y_enc[..., None]) / d, np.inf)
+            lo = np.where(d < -1e-9, -y_enc[..., None] / d, np.inf)
+        beta = np.clip(np.minimum(hi, lo).min(-1), 0.0, 1.0)
+        stored = y_enc[..., None] + beta[..., None] * d
+        u8 = np.clip(np.round(stored), 0, 255).astype(np.uint8)
+        cv2.imwrite(os.path.join(scene, "images", f"{i:06d}.png"),
+                    cv2.cvtColor(u8, cv2.COLOR_RGB2BGR),
+                    [cv2.IMWRITE_PNG_COMPRESSION, 9])
+    tr = sum(float(np.linalg.norm(a[:3, 3] - b[:3, 3]))
+             for a, b in zip(ps[1:], ps[:-1]))
+    print(f"adv scene: {A_FRAMES} frames {TW}x{TH}, travel {tr:.2f} m, "
+          f"exposure [{min(es):.2f}, {max(es):.2f}], vignette min "
+          f"{vig.min():.2f} -> {ADV_ROOT}")
+
+
 def main():
     scene = os.path.join(ROOT, "scene0")
     os.makedirs(os.path.join(scene, "images"), exist_ok=True)
@@ -346,6 +530,10 @@ def main():
 
 if __name__ == "__main__":
     import sys
+    if "--adv-only" in sys.argv:
+        make_adv_scene()
+        raise SystemExit(0)
     if "--traj-only" not in sys.argv:
         main()
     make_traj_scene()
+    make_adv_scene()

@@ -88,3 +88,66 @@ def test_full_pipeline_ate_and_mesh(tmp_path):
     xyz = np.array([[float(x) for x in ln.split()[1:4]] for ln in verts])
     assert np.isfinite(xyz).all()
     assert xyz.std(axis=0).max() > 0.1, "mesh is degenerate (near a point)"
+
+
+ADV_FIXTURE = os.path.join(REPO, "tests", "fixtures", "adv_traj", "scene0")
+
+
+@pytest.mark.slow
+def test_adversarial_sequence_recovers(tmp_path):
+    """The adversarial 208-frame sequence (tests/fixtures/adv_traj):
+    rotation-only opening, 0.45-rad orbit pans with revisit, a 4x-motion
+    jerk, a close occluder pass — under a gamma-2.2 response, radial
+    vignette (0.70 corner) and a +-0.18 exposure ramp, inverted through
+    the PhotometricUndistorter (pcalib.txt + vignette.png, Undistort.h:40).
+
+    Current measured behavior (2026-08-20): the orbit-away segment defeats
+    the monocular window (map starves, is_lost at ~frame 95) — the
+    auto-reset fires, the initializer re-snaps within a few frames, and
+    the system then tracks THROUGH the jerk (retry ladder) and the box
+    pass to the end: 110 frames, post-reset Sim3 ATE 114.5 mm. This gate
+    pins the RECOVERY contract (reference: main_tandem_pangolin.cpp's
+    reset path + trackNewCoarse retry ladder); tighten when rotation
+    robustness improves.
+    """
+    from tandem_tpu.cli import tandem_dataset
+    from tandem_tpu.eval.ate import (associate, evaluate_ate,
+                                     load_tum_trajectory, tum_to_xyz)
+
+    argv = [
+        "preset=dataset",
+        f"files={os.path.join(ADV_FIXTURE, 'images')}",
+        f"calib={os.path.join(ADV_FIXTURE, 'camera_dso.txt')}",
+        f"gamma={os.path.join(ADV_FIXTURE, 'pcalib.txt')}",
+        f"vignette={os.path.join(ADV_FIXTURE, 'vignette.png')}",
+        f"result_folder={tmp_path}",
+    ]
+    tandem_dataset.main(argv)
+
+    gt = load_tum_trajectory(os.path.join(ADV_FIXTURE, "gt_tum.txt"))
+    est = load_tum_trajectory(os.path.join(str(tmp_path), "result.txt"))
+    matches = associate(gt, est)
+    # Recovery contract: a final continuous segment spanning the jerk and
+    # the box pass to the last frames of the sequence.
+    assert len(matches) >= 90, (
+        f"only {len(matches)} frames tracked — recovery after loss failed")
+    last_frame = max(round(b * 30) for _, b in matches)
+    assert last_frame >= 205, (
+        f"tracking died at frame {last_frame} — did not reach sequence end")
+    jerk_frames = [b for _, b in matches if 150 <= round(b * 30) <= 157]
+    assert len(jerk_frames) >= 6, (
+        f"jerk segment lost ({len(jerk_frames)}/8 frames) — retry ladder")
+
+    start = max(round(b * 30) for _, b in matches) - len(matches) + 1
+    seg = [(a, b) for a, b in matches if round(a * 30) >= start]
+    gt_xyz = tum_to_xyz(gt, [a for a, _ in seg])
+    est_xyz = tum_to_xyz(est, [b for _, b in seg])
+    stats = evaluate_ate(gt_xyz, est_xyz, with_scale=True)
+    print(f"adversarial post-recovery ATE rmse {stats['rmse'] * 1000:.1f} mm"
+          f" over {len(seg)} frames (scale {stats['scale']:.3f})")
+    # Measured 114.5 and 350 mm over two runs of the same 110-frame
+    # recovery segment (run-to-run variance: host-threaded float
+    # reductions reorder, and the marginal window state is chaotic there).
+    # The bound is a did-not-flail sanity check over ~1.1 m of travel;
+    # the structural recovery contract above is the real gate.
+    assert stats["rmse"] < 0.50, f"ATE rmse {stats['rmse']:.4f} m"
