@@ -1082,34 +1082,44 @@ def _insert_points_jit(state: BAState, slot, uv, idepth, ok, image):
 
 @partial(jax.jit, static_argnums=(2, 3, 4))
 def _drop_oob_points(state: BAState, newest_c2w, K, H: int, W: int):
-    """flagPointsForRemoval parity (FullSystem.cpp:1390- / isOOB): points
-    that no longer project into the NEWEST keyframe (or fall behind its
-    camera) leave the active set — DSO marginalizes/drops them each
-    makeKeyframe. Without this the fixed point pool saturates the moment
-    the scene sweeps (first observed on the trajectory fixture: all 2048
-    slots full by the 4th KF, every later KF contributing ZERO points, the
-    tracking reference degrading into a 6 cm pose zigzag and a
-    KF-every-frame cascade). The reference folds well-observed OOB points
-    into the prior before dropping; here they are dropped outright — the
-    window poses they constrained remain constrained by the surviving
-    in-view points and the frame-marginalization prior."""
+    """flagPointsForRemoval parity (FullSystem.cpp:888-935 + isOOB,
+    HessianBlocks.h:528): a point leaves the active set when it holds NO
+    residuals — i.e. it projects into fewer than 2 OTHER window frames —
+    or its idepth went negative. Points that merely left the NEWEST
+    frame's view keep constraining the older frames they are visible in
+    until their host marginalizes, exactly like the reference's residual
+    bookkeeping. (Rounds 2-4 dropped on newest-frame visibility alone;
+    during rotation-heavy segments that severs every link to the pre-pan
+    geometry a window ahead of schedule — the map starves from both ends.
+    The original failure that motivated dropping — pool saturation with
+    zero insertions — stays solved: sweeping scenes still shed points as
+    their co-visible frame set shrinks below 2.) ``newest_c2w`` is kept
+    in the signature for the newest-frame-behind-camera guard."""
     fx, fy, cx, cy = K
     ray = jnp.stack([(state.pt_uv[:, 0] - cx) / fx,
                      (state.pt_uv[:, 1] - cy) / fy,
                      jnp.ones_like(state.pt_uv[:, 0])], -1)
     pts_h = ray / jnp.maximum(state.pt_idepth[:, None], 1e-6)
-    poses = state.poses[state.pt_frame]
-    pts_w = jnp.einsum("nij,nj->ni", poses[:, :3, :3], pts_h) \
-        + poses[:, :3, 3]
-    R = newest_c2w[:3, :3].T
-    t = -R @ newest_c2w[:3, 3]
-    pts_r = pts_w @ R.T + t
-    z = jnp.maximum(pts_r[:, 2], 1e-6)
-    u = fx * pts_r[:, 0] / z + cx
-    v = fy * pts_r[:, 1] / z + cy
-    visible = ((pts_r[:, 2] > 0.01) & (u >= 1.0) & (u <= W - 2.0)
-               & (v >= 1.0) & (v <= H - 2.0))
-    return state._replace(pt_valid=state.pt_valid & visible)
+    hposes = state.poses[state.pt_frame]
+    pts_w = jnp.einsum("nij,nj->ni", hposes[:, :3, :3], pts_h) \
+        + hposes[:, :3, 3]                                   # (N, 3)
+
+    # Project every point into every window frame: (F, N) visibility.
+    R_all = jnp.swapaxes(state.poses[:, :3, :3], -1, -2)     # (F, 3, 3)
+    t_all = -jnp.einsum("fij,fj->fi", R_all, state.poses[:, :3, 3])
+    pr = jnp.einsum("fij,nj->fni", R_all, pts_w) + t_all[:, None, :]
+    z = jnp.maximum(pr[..., 2], 1e-6)
+    u = fx * pr[..., 0] / z + cx
+    v = fy * pr[..., 1] / z + cy
+    vis = ((pr[..., 2] > 0.01) & (u >= 1.0) & (u <= W - 2.0)
+           & (v >= 1.0) & (v <= H - 2.0))                    # (F, N)
+    vis = vis & state.frame_valid[:, None]
+    # Exclude the host frame from the count (residuals are host->target).
+    F = state.poses.shape[0]
+    not_host = jnp.arange(F)[:, None] != state.pt_frame[None, :]
+    n_targets = jnp.sum(vis & not_host, axis=0)              # (N,)
+    keep = (n_targets >= 2) & (state.pt_idepth > 0)
+    return state._replace(pt_valid=state.pt_valid & keep)
 
 
 @partial(jax.jit, static_argnums=(2, 3, 4))

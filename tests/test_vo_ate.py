@@ -96,19 +96,21 @@ ADV_FIXTURE = os.path.join(REPO, "tests", "fixtures", "adv_traj", "scene0")
 @pytest.mark.slow
 def test_adversarial_sequence_recovers(tmp_path):
     """The adversarial 208-frame sequence (tests/fixtures/adv_traj):
-    rotation-only opening, 0.45-rad orbit pans with revisit, a 4x-motion
-    jerk, a close occluder pass — under a gamma-2.2 response, radial
-    vignette (0.70 corner) and a +-0.18 exposure ramp, inverted through
-    the PhotometricUndistorter (pcalib.txt + vignette.png, Undistort.h:40).
+    rotation-only opening (the initializer's rotation-only guard refuses
+    to snap until parallax exists), 0.45-rad orbit pans away/back with a
+    revisit, a 4x-motion jerk, a close occluder pass — imaged through a
+    gamma-2.2 response, radial vignette and a +-0.18 exposure ramp,
+    inverted through the PhotometricUndistorter (pcalib.txt +
+    vignette.png, Undistort.h:40).
 
-    Current measured behavior (2026-08-20): the orbit-away segment defeats
-    the monocular window (map starves, is_lost at ~frame 95) — the
-    auto-reset fires, the initializer re-snaps within a few frames, and
-    the system then tracks THROUGH the jerk (retry ladder) and the box
-    pass to the end: 110 frames, post-reset Sim3 ATE 114.5 mm. This gate
-    pins the RECOVERY contract (reference: main_tandem_pangolin.cpp's
-    reset path + trackNewCoarse retry ladder); tighten when rotation
-    robustness improves.
+    Measured 2026-08-20 after the window-visibility point-retention fix
+    (flagPointsForRemoval parity): 208/208 frames tracked, zero resets,
+    cruise-segment Sim3 ATE 13.5 mm; the orbit segments carry monocular
+    scale drift (segment scales 0.6-8.6), so the full-trajectory
+    single-scale ATE is ~0.34 m — the gates below separate the
+    robustness contract (continuous tracking through every stressor)
+    from local accuracy (cruise segment) and leave the global number as
+    a sanity bound.
     """
     from tandem_tpu.cli import tandem_dataset
     from tandem_tpu.eval.ate import (associate, evaluate_ate,
@@ -127,27 +129,28 @@ def test_adversarial_sequence_recovers(tmp_path):
     gt = load_tum_trajectory(os.path.join(ADV_FIXTURE, "gt_tum.txt"))
     est = load_tum_trajectory(os.path.join(str(tmp_path), "result.txt"))
     matches = associate(gt, est)
-    # Recovery contract: a final continuous segment spanning the jerk and
-    # the box pass to the last frames of the sequence.
-    assert len(matches) >= 90, (
-        f"only {len(matches)} frames tracked — recovery after loss failed")
-    last_frame = max(round(b * 30) for _, b in matches)
-    assert last_frame >= 205, (
-        f"tracking died at frame {last_frame} — did not reach sequence end")
-    jerk_frames = [b for _, b in matches if 150 <= round(b * 30) <= 157]
-    assert len(jerk_frames) >= 6, (
-        f"jerk segment lost ({len(jerk_frames)}/8 frames) — retry ladder")
+    frames = sorted(round(b * 30) for _, b in matches)
+    assert len(matches) >= 190, (
+        f"only {len(matches)}/208 frames tracked — lost tracking")
+    assert frames[-1] >= 205, f"tracking died at frame {frames[-1]}"
+    gaps = max((b - a for a, b in zip(frames, frames[1:])), default=0)
+    assert gaps <= 15, f"a {gaps}-frame hole in the trajectory (reset/loss)"
+    jerk = [f for f in frames if 150 <= f <= 157]
+    assert len(jerk) >= 6, f"jerk segment lost ({len(jerk)}/8) — retry ladder"
 
-    start = max(round(b * 30) for _, b in matches) - len(matches) + 1
-    seg = [(a, b) for a, b in matches if round(a * 30) >= start]
-    gt_xyz = tum_to_xyz(gt, [a for a, _ in seg])
-    est_xyz = tum_to_xyz(est, [b for _, b in seg])
-    stats = evaluate_ate(gt_xyz, est_xyz, with_scale=True)
-    print(f"adversarial post-recovery ATE rmse {stats['rmse'] * 1000:.1f} mm"
-          f" over {len(seg)} frames (scale {stats['scale']:.3f})")
-    # Measured 114.5 and 350 mm over two runs of the same 110-frame
-    # recovery segment (run-to-run variance: host-threaded float
-    # reductions reorder, and the marginal window state is chaotic there).
-    # The bound is a did-not-flail sanity check over ~1.1 m of travel;
-    # the structural recovery contract above is the real gate.
-    assert stats["rmse"] < 0.50, f"ATE rmse {stats['rmse']:.4f} m"
+    def seg_ate(lo, hi):
+        mm = [(a, b) for a, b in matches if lo <= round(a * 30) <= hi]
+        gt_xyz = tum_to_xyz(gt, [a for a, _ in mm])
+        est_xyz = tum_to_xyz(est, [b for _, b in mm])
+        return evaluate_ate(gt_xyz, est_xyz, with_scale=True)
+
+    cruise = seg_ate(12, 69)
+    full = seg_ate(0, 207)
+    print(f"adversarial: cruise ATE {cruise['rmse'] * 1000:.1f} mm, "
+          f"full-trajectory {full['rmse'] * 1000:.1f} mm "
+          f"(scale {full['scale']:.3f}, {len(matches)} frames)")
+    # Measured 13.5 mm cruise / 335 mm full; margins ~4x / ~2x (run-to-run
+    # variance from host-threaded float reordering is real — the r4
+    # fixture's bound discipline applies).
+    assert cruise["rmse"] < 0.060, f"cruise ATE {cruise['rmse']:.4f} m"
+    assert full["rmse"] < 0.70, f"full-traj ATE {full['rmse']:.4f} m"
