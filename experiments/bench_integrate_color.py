@@ -112,7 +112,7 @@ def main():
     n_pad = -(-max(n, 1) // 2048) * 2048
     print("allocated:", n, "padded:", n_pad, flush=True)
     cfgW = dataclasses.replace(cfg, image_width=W)
-    depth_color, w2c_R, w2c_t = T._pack_scan(depth, color, pose)
+    depth_color, w2c_R, w2c_t = T._pack_scan(depth, color, pose, K)
 
     # Parity check first (CPU-identical math, f32). Every consumer gets
     # its own copy: the chunk kernels DONATE the volume buffers.

@@ -54,6 +54,10 @@ class TsdfConfig:
     min_depth: float = 0.1
     max_depth: float = 10.0
     image_width: int = 640         # set per-call by integrate()
+    # Band-sampling pixel stride for allocate_blocks (see its docstring):
+    # 2 halves the alloc sort cost; every block footprint is still sampled
+    # multiple times (>= 3 px across even at max_depth).
+    alloc_stride: int = 2
 
     @property
     def block_extent(self) -> float:
@@ -142,19 +146,30 @@ def _unproject(u, v, depth, K):
     return jnp.stack([x, y, depth], -1)
 
 
-@partial(jax.jit, static_argnums=(0,), donate_argnums=(1,))
-def allocate_blocks(cfg: TsdfConfig, vol: TsdfVolume, depth, K, cam_to_world):
+@partial(jax.jit, static_argnums=(0, 5), donate_argnums=(1,))
+def allocate_blocks(cfg: TsdfConfig, vol: TsdfVolume, depth, K, cam_to_world,
+                    stride: int = None):
     """Allocate pool blocks for the truncation band around the depth surface.
 
     :param depth: (H, W) metric depth, 0 = invalid
     :param K: (3, 3); cam_to_world: (4, 4)
+    :param stride: pixel subsampling of the band sampling grid (default
+        cfg.alloc_stride). The alloc cost is the 5*H*W/stride^2-key
+        sort-dedup; a block's image footprint is >= 3 px across even at
+        max_depth (8 cm * fx/10 m), so stride=2 still samples every block
+        footprint multiple times. stride=1 is the exhaustive reference
+        behaviour.
     """
+    if stride is None:
+        stride = cfg.alloc_stride
     H, W = depth.shape
-    d = depth.reshape(-1)
+    d = depth[::stride, ::stride].reshape(-1)
     valid = (d >= cfg.min_depth) & (d <= cfg.max_depth)
+    Ws = -(-W // stride)
+    Hs = -(-H // stride)
 
-    u = jnp.tile(jnp.arange(W, dtype=jnp.float32), H)
-    v = jnp.repeat(jnp.arange(H, dtype=jnp.float32), W)
+    u = jnp.tile(jnp.arange(0, W, stride, dtype=jnp.float32), Hs)
+    v = jnp.repeat(jnp.arange(0, H, stride, dtype=jnp.float32), Ws)
 
     R = cam_to_world[:3, :3]
     t = cam_to_world[:3, 3]
@@ -277,11 +292,12 @@ def _integrate_chunk(cfg: TsdfConfig, vol: TsdfVolume, depth_color, K,
     c_px = dc[..., 2:5].astype(jnp.float32)
     d_ok = (d_px > 0) & (d_px >= cfg.min_depth) & (d_px < cfg.max_depth)
 
-    # surface_dist = |unproject(u, v, d)| (utils.h GetPoint3d:93-101),
-    # component-wise: d * sqrt(((u-cx)/fx)^2 + ((v-cy)/fy)^2 + 1).
-    ru = (u.astype(jnp.float32) - cx) / fx
-    rv = (v.astype(jnp.float32) - cy) / fy
-    surface_dist = d_px * jnp.sqrt(ru * ru + rv * rv + 1.0)
+    # surface_dist = |unproject(u, v, d)| (utils.h GetPoint3d:93-101) =
+    # d * ray_norm; the per-pixel ray norm rides lanes 5-6 of the gathered
+    # row (split-precision, see _pack_scan) instead of a per-voxel sqrt.
+    ray_norm = dc[..., 5].astype(jnp.float32) + dc[..., 6].astype(
+        jnp.float32)
+    surface_dist = d_px * ray_norm
     voxel_dist = jnp.sqrt(xc * xc + yc * yc + z * z)
 
     in_band = (voxel_dist > surface_dist - cfg.truncation) & \
@@ -306,8 +322,9 @@ def _integrate_chunk(cfg: TsdfConfig, vol: TsdfVolume, depth_color, K,
 
 
 @jax.jit
-def _pack_scan(depth, color, cam_to_world):
-    """Pack the scan as (H*W, 8) float16 rows [d_hi, d_lo, r, g, b, 0, 0, 0].
+def _pack_scan(depth, color, cam_to_world, K):
+    """Pack the scan as (H*W, 8) f16 rows [d_hi, d_lo, r, g, b, n_hi, n_lo,
+    0].
 
     The per-voxel pixel lookup is a 3.1 M-row gather and the TPU gather
     unit moves f16x8 rows ~4x faster than the f32x4 packing it replaces
@@ -315,21 +332,31 @@ def _pack_scan(depth, color, cam_to_world):
     round 4). Depth is split-precision: d_hi = f16(d), d_lo = f16(d - d_hi),
     reconstructed as f32(d_hi) + f32(d_lo) with relative error ~2^-21
     (<1 um at 2 m — far below the 1 cm voxel). Colors are 0..255 integers,
-    exact in f16 (10 mantissa bits cover integers to 2048).
+    exact in f16 (10 mantissa bits cover integers to 2048). Lanes 5-6 carry
+    the per-pixel ray norm |K^-1 (u, v, 1)| split-precision: one sqrt per
+    PIXEL here replaces a sqrt + 4-op chain per VOXEL (3.1 M/KF) in the
+    integrate kernels.
     """
+    H, W = depth.shape
+    fx, fy, cx, cy = K[0, 0], K[1, 1], K[0, 2], K[1, 2]
+    ru = (jnp.arange(W, dtype=jnp.float32)[None, :] - cx) / fx
+    rv = (jnp.arange(H, dtype=jnp.float32)[:, None] - cy) / fy
+    norm = jnp.sqrt(ru * ru + rv * rv + 1.0).reshape(-1, 1)
+    n_hi = norm.astype(jnp.float16)
+    n_lo = (norm - n_hi.astype(jnp.float32)).astype(jnp.float16)
     d = depth.reshape(-1, 1)
     d_hi = d.astype(jnp.float16)
     d_lo = (d - d_hi.astype(jnp.float32)).astype(jnp.float16)
     depth_color = jnp.concatenate(
-        [d_hi, d_lo, color.reshape(-1, 3).astype(jnp.float16),
-         jnp.zeros((d.shape[0], 3), jnp.float16)], -1)
+        [d_hi, d_lo, color.reshape(-1, 3).astype(jnp.float16), n_hi, n_lo,
+         jnp.zeros((d.shape[0], 1), jnp.float16)], -1)
     w2c_R = cam_to_world[:3, :3].T
     w2c_t = -w2c_R @ cam_to_world[:3, 3]
     return depth_color, w2c_R, w2c_t
 
 
 def integrate(cfg: TsdfConfig, vol: TsdfVolume, depth, color, K, cam_to_world,
-              chunk: int = 2048, n_allocated: int = None):
+              chunk: int = None, n_allocated: int = None):
     """Fuse one (depth, color) scan into the volume.
 
     Host-driven chunking over ALLOCATED blocks only (the reference likewise
@@ -343,10 +370,17 @@ def integrate(cfg: TsdfConfig, vol: TsdfVolume, depth, color, K, cam_to_world,
     """
     H, W = depth.shape
     cfg = dataclasses.replace(cfg, image_width=W)
-    depth_color, w2c_R, w2c_t = _pack_scan(depth, color, cam_to_world)
-    chunk = min(chunk, cfg.pool_size)
-    assert cfg.pool_size % chunk == 0, "chunk must divide pool_size"
+    depth_color, w2c_R, w2c_t = _pack_scan(depth, color, cam_to_world, K)
     n = int(vol.n_allocated) if n_allocated is None else n_allocated
+    if chunk is None:
+        # Auto: one launch sized to the allocation (program invocations
+        # carry ~1.5 ms fixed cost each on TPU — bench_scatter_fixed.py);
+        # beyond the 8192-block step the pool is a power of two, so the
+        # clamping dynamic_slice hazard cannot occur.
+        chunk = _pad_sched(n, cfg.pool_size)
+    chunk = min(chunk, cfg.pool_size)
+    assert n <= chunk or cfg.pool_size % chunk == 0, \
+        "chunk must divide pool_size when iterating"
     for start in range(0, max(n, 1), chunk):
         vol = _integrate_chunk(cfg, vol, depth_color, K, w2c_R, w2c_t,
                                start, chunk)
@@ -385,10 +419,25 @@ def visible_slots(cfg: TsdfConfig, vol: TsdfVolume, K, cam_to_world,
       case for any FOV (tested adversarially in test_tsdf.py).
     """
     P = cfg.pool_size
-    centers = (vol.block_coords.astype(jnp.float32) + 0.5) * cfg.block_extent
+    alloc = jnp.arange(P) < vol.n_allocated
+    vis = alloc & _frustum_mask(cfg, K, cam_to_world, height, width,
+                                vol.block_coords)
+
+    rank = jnp.cumsum(vis.astype(jnp.int32)) - 1
+    slots = jnp.full((P,), P, jnp.int32).at[
+        jnp.where(vis, rank, P)].set(jnp.arange(P, dtype=jnp.int32),
+                                     mode="drop")
+    return slots, jnp.sum(vis.astype(jnp.int32))
+
+
+def _frustum_mask(cfg: TsdfConfig, K, cam_to_world, height: int, width: int,
+                  block_coords):
+    """The conservative per-block frustum predicate of visible_slots (see
+    its docstring for the proof), over an arbitrary (N, 3) coords array."""
+    centers = (block_coords.astype(jnp.float32) + 0.5) * cfg.block_extent
     R = cam_to_world[:3, :3].T
     t = -R @ cam_to_world[:3, 3]
-    cam = centers @ R.T + t                               # (P, 3)
+    cam = centers @ R.T + t                               # (N, 3)
     r = cfg.block_extent * (3.0 ** 0.5) / 2.0             # bounding radius
     z = cam[:, 2]
     fx, fy, cx, cy = K[0, 0], K[1, 1], K[0, 2], K[1, 2]
@@ -409,14 +458,94 @@ def visible_slots(cfg: TsdfConfig, vol: TsdfVolume, K, cam_to_world,
     near = ((z - r <= 0) & (z + r > 0)
             & (jnp.sqrt(jnp.sum(cam * cam, -1))
                <= (z + r) * norm_max + r))
-    alloc = jnp.arange(P) < vol.n_allocated
-    vis = alloc & (near | ((z - r > 0) & in_depth & in_img))
+    return near | ((z - r > 0) & in_depth & in_img)
 
-    rank = jnp.cumsum(vis.astype(jnp.int32)) - 1
-    slots = jnp.full((P,), P, jnp.int32).at[
-        jnp.where(vis, rank, P)].set(jnp.arange(P, dtype=jnp.int32),
-                                     mode="drop")
-    return slots, jnp.sum(vis.astype(jnp.int32))
+
+@partial(jax.jit, static_argnums=(0, 4, 5, 6))
+def surface_axis_slots(cfg: TsdfConfig, vol: TsdfVolume, K, cam_to_world,
+                       height: int, width: int, n_pad: int):
+    """Per-axis surface + frustum cull for the splat render camera.
+
+    The splat emits one candidate row per (block, axis, column); measured on
+    a realistic scan only ~22% of rows are valid, concentrated in few
+    (block, axis) pairs (surfaces are locally planar — columns of the
+    near-normal axis all cross, the other two axes mostly don't). Keeping a
+    (block, axis) pair only when a crossing along that axis is POSSIBLE cuts
+    both the candidate math and the scatter rows ~3x with a bit-exact
+    result (test_splat_axis_culled_matches_full).
+
+    A pair (B, a) can emit only if
+      - some column of axis a in B holds valid voxels of both signs
+        (superset of an adjacent-pair sign change), or
+      - B and its +a neighbour hold valid voxels of opposite signs (superset
+        of a face-straddling crossing recovered via pair_tab),
+    and B's bounding ball intersects the view frustum (every emitted point
+    lies in B's closed cube; _frustum_mask covers the ball).
+
+    MUST run AFTER this keyframe's integrate — the flags read the fused sdf.
+
+    :param n_pad: static padded allocation count (multiples of the chunk
+        size keep jit signatures rare).
+    :return: (slots3, counts3) — slots3 (3, pool_size) int32, per-axis
+        visible surface slots compacted to the front with cfg.pool_size
+        sentinel padding; counts3 (3,) int32.
+    """
+    b = cfg.block_size
+    P = cfg.pool_size
+    n_pad = min(n_pad, P)
+    tsdf_p = jax.lax.slice_in_dim(vol.tsdf, 0, n_pad, axis=0)
+    weight_p = jax.lax.slice_in_dim(vol.weight, 0, n_pad, axis=0)
+    coords_p = jax.lax.slice_in_dim(vol.block_coords, 0, n_pad, axis=0)
+
+    valid = weight_p > 0
+    vp = valid & (tsdf_p >= 0)
+    vn = valid & (tsdf_p <= 0)
+
+    view = (n_pad, b, b, b)                               # (chunk, z, y, x)
+    vp_v = vp.reshape(view)
+    vn_v = vn.reshape(view)
+
+    alloc = jnp.arange(n_pad) < vol.n_allocated
+    vis = alloc & _frustum_mask(cfg, K, cam_to_world, height, width,
+                                coords_p)
+
+    slots3, counts3 = [], []
+    # Per axis: the in-block column test, plus a COLUMN-exact face term (a
+    # block-level has-both-signs test is useless in a truncation band —
+    # nearly every band block holds both signs, so it kept ~80% of pairs;
+    # matching last/first slice flags per column culls the tangent axes).
+    for axis, dim, lp, ln, fp, fn in (
+            (0, 3, vp_v[..., b - 1], vn_v[..., b - 1],
+             vp_v[..., 0], vn_v[..., 0]),
+            (1, 2, vp_v[:, :, b - 1, :], vn_v[:, :, b - 1, :],
+             vp_v[:, :, 0, :], vn_v[:, :, 0, :]),
+            (2, 1, vp_v[:, b - 1], vn_v[:, b - 1],
+             vp_v[:, 0], vn_v[:, 0])):
+        # Column-wise both-signs test along this axis (superset of an
+        # adjacent crossing; an invalid gap between the signs keeps the
+        # block — conservative, never wrong).
+        col_cross = jnp.any(vp_v, axis=dim) & jnp.any(vn_v, axis=dim)
+        flag = jnp.any(col_cross.reshape(n_pad, b * b), axis=1)
+        # Face-straddling crossings: the +axis neighbour's first slice
+        # holds the opposite sign in the SAME column as our last slice.
+        nb_block = coords_p.at[:, axis].add(1)
+        flat_tab, in_arena = _table_index(cfg, nb_block)
+        nb_slot = vol.page_table[flat_tab]
+        nb_ok = (nb_slot >= 0) & (nb_slot < n_pad) & in_arena
+        safe = jnp.where(nb_ok, nb_slot, 0)
+        fp_c = fp.reshape(n_pad, b * b)
+        fn_c = fn.reshape(n_pad, b * b)
+        lp_c = lp.reshape(n_pad, b * b)
+        ln_c = ln.reshape(n_pad, b * b)
+        face = jnp.any((lp_c & fn_c[safe]) | (ln_c & fp_c[safe]), axis=1)
+        flag = flag | (nb_ok & face)
+        keep = vis & flag
+        rank = jnp.cumsum(keep.astype(jnp.int32)) - 1
+        slots3.append(jnp.full((P,), P, jnp.int32).at[
+            jnp.where(keep, rank, P)].set(
+                jnp.arange(n_pad, dtype=jnp.int32), mode="drop"))
+        counts3.append(jnp.sum(keep.astype(jnp.int32)))
+    return jnp.stack(slots3), jnp.stack(counts3)
 
 
 @partial(jax.jit, static_argnums=(0, 7), donate_argnums=(1,))
@@ -464,9 +593,10 @@ def _integrate_chunk_gather(cfg: TsdfConfig, vol: TsdfVolume, depth_color, K,
     c_px = dc[..., 2:5].astype(jnp.float32)
     d_ok = (d_px > 0) & (d_px >= cfg.min_depth) & (d_px < cfg.max_depth)
 
-    ru = (u.astype(jnp.float32) - cx) / fx
-    rv = (v.astype(jnp.float32) - cy) / fy
-    surface_dist = d_px * jnp.sqrt(ru * ru + rv * rv + 1.0)
+    # Per-pixel ray norm from lanes 5-6 of the gathered row (_pack_scan).
+    ray_norm = dc[..., 5].astype(jnp.float32) + dc[..., 6].astype(
+        jnp.float32)
+    surface_dist = d_px * ray_norm
     voxel_dist = jnp.sqrt(xc * xc + yc * yc + z * z)
 
     in_band = (voxel_dist > surface_dist - cfg.truncation) & \
@@ -489,7 +619,7 @@ def _integrate_chunk_gather(cfg: TsdfConfig, vol: TsdfVolume, depth_color, K,
 
 
 def integrate_culled(cfg: TsdfConfig, vol: TsdfVolume, depth, color, K,
-                     cam_to_world, slots, n_visible: int, chunk: int = 2048):
+                     cam_to_world, slots, n_visible: int, chunk: int = None):
     """integrate() over a frustum-culled slot list from visible_slots():
     device cost scales with the VISIBLE surface instead of everything ever
     allocated (long sequences keep integrating at constant cost).
@@ -499,7 +629,9 @@ def integrate_culled(cfg: TsdfConfig, vol: TsdfVolume, depth, color, K,
     """
     H, W = depth.shape
     cfg = dataclasses.replace(cfg, image_width=W)
-    depth_color, w2c_R, w2c_t = _pack_scan(depth, color, cam_to_world)
+    depth_color, w2c_R, w2c_t = _pack_scan(depth, color, cam_to_world, K)
+    if chunk is None:
+        chunk = _pad_sched(n_visible, cfg.pool_size)   # one-launch default
     chunk = min(chunk, cfg.pool_size)
     # Pad with drop sentinels so the last dynamic_slice never clamps its
     # start backwards (a clamped slice would re-integrate earlier slots).
@@ -589,20 +721,21 @@ def _splat_chunk_gather(cfg: TsdfConfig, zbuf, vol: TsdfVolume, pair_tab, K,
                        tsdf_c, weight_c, active, chunk, H, W)
 
 
-def _splat_core(cfg: TsdfConfig, zbuf, vol: TsdfVolume, pair_tab, K, w2c_R,
-                w2c_t, coords, tsdf_c, weight_c, slot_active, chunk: int,
-                H: int, W: int):
-    """Splat the zero-crossing surface points of ``chunk`` pool blocks.
+def _splat_axis_candidates(cfg: TsdfConfig, vol: TsdfVolume, pair_tab, K,
+                           w2c_R, w2c_t, coords, tsdf_c, weight_c,
+                           slot_active, chunk: int, H: int, W: int,
+                           axis: int):
+    """Candidate surface points of ``chunk`` blocks along ONE world axis.
 
-    Per axis and per block column, the sdf sign change between adjacent
+    Per block column of ``axis``, the sdf sign change between adjacent
     voxels is located exactly (linear interpolation) and ONE surface point —
-    the nearest-to-camera valid crossing — is emitted: 3 x 64 = 192 scatter
-    rows per block instead of the 512 of a per-voxel shell splat. The
-    scatter-min is the entire splat cost on TPU (measured 147 M rows/s), so
-    this is ~2.6x; the emitted points also sit ON the surface instead of up
-    to 1.5 voxels off. Crossings that straddle a block face are recovered
-    from the +axis neighbour's first voxel slice via ``pair_tab``
-    ((P*512, 2) [tsdf, weight] prefix rows).
+    the nearest-to-camera valid crossing — is emitted: 64 scatter rows per
+    (block, axis). Crossings that straddle a block face are recovered from
+    the +axis neighbour's first voxel slice via ``pair_tab`` ((P*B3, 8)
+    f16 [sdf_hi, sdf_lo, weight, ...] prefix rows).
+
+    :return: (flat, z) — (chunk*b*b,) scatter rows (flat == H*W sentinel
+        where no valid crossing exists in the column).
     """
     b = cfg.block_size
     B3 = b ** 3
@@ -624,91 +757,145 @@ def _splat_core(cfg: TsdfConfig, zbuf, vol: TsdfVolume, pair_tab, K, w2c_R,
     base = coords.astype(jnp.float32) * b                      # (C, 3)
     active512 = slot_active[:, None]
 
-    flats, zs = [], []
     # world axis a; tensor dim of that axis in (chunk, z, y, x) views used
     # only for the +1 shift; the li of the neighbour block's coordinate-0
     # face at (o1, o2); the flat local coordinates of the two non-a axes.
-    for a, dim, face_li, l_o1, l_o2, col_o1, col_o2 in (
-            (0, 3, o1 * (b * b) + o2 * b, lz, ly, 2, 1),   # x gaps
-            (1, 2, o1 * (b * b) + o2, lz, lx, 2, 0),       # y gaps
-            (2, 1, o1 * b + o2, ly, lx, 1, 0)):            # z gaps
-        la = (lx, ly, lz)[a]
+    a, dim, face_li, l_o1, l_o2, col_o1, col_o2 = (
+        (0, 3, o1 * (b * b) + o2 * b, lz, ly, 2, 1),   # x gaps
+        (1, 2, o1 * (b * b) + o2, lz, lx, 2, 0),       # y gaps
+        (2, 1, o1 * b + o2, ly, lx, 1, 0))[axis]       # z gaps
+    la = (lx, ly, lz)[a]
 
-        # Neighbour block's first slice along +a closes the inter-block gap.
-        nb_block = coords.at[:, a].add(1)
-        flat_tab, in_arena = _table_index(cfg, nb_block)
-        nb_slot = vol.page_table[flat_tab]
-        nb_ok = (nb_slot >= 0) & (nb_slot < P) & in_arena
-        rows = (jnp.where(nb_ok, nb_slot, 0)[:, None] * B3 + face_li[None])
-        nb = pair_tab[rows.reshape(-1)].reshape(chunk, b * b, 8)
-        s_nb = (nb[..., 0].astype(jnp.float32)
-                + nb[..., 1].astype(jnp.float32))              # (C, 64)
-        w_nb = jnp.where(nb_ok[:, None], nb[..., 2].astype(jnp.float32), 0.0)
+    # Neighbour block's first slice along +a closes the inter-block gap.
+    nb_block = coords.at[:, a].add(1)
+    flat_tab, in_arena = _table_index(cfg, nb_block)
+    nb_slot = vol.page_table[flat_tab]
+    nb_ok = (nb_slot >= 0) & (nb_slot < P) & in_arena
+    rows = (jnp.where(nb_ok, nb_slot, 0)[:, None] * B3 + face_li[None])
+    nb = pair_tab[rows.reshape(-1)].reshape(chunk, b * b, 8)
+    s_nb = (nb[..., 0].astype(jnp.float32)
+            + nb[..., 1].astype(jnp.float32))              # (C, 64)
+    w_nb = jnp.where(nb_ok[:, None], nb[..., 2].astype(jnp.float32), 0.0)
 
-        # Value at local+1 along a (neighbour face at the boundary), built
-        # with one slice+concat in the (chunk, ..., b, ...) view, then
-        # flattened back to (C, B3) for ALL arithmetic.
-        view = (chunk,) + (b,) * 3
-        sA = tsdf_c.reshape(view)
-        wA = weight_c.reshape(view)
-        sl = [slice(None)] * 4
-        sl[dim] = slice(1, None)
-        fshape = [chunk, b, b, b]
-        fshape[dim] = 1
-        s1 = jnp.concatenate(
-            [sA[tuple(sl)], s_nb.reshape(fshape)], dim).reshape(chunk, B3)
-        w1 = jnp.concatenate(
-            [wA[tuple(sl)], w_nb.reshape(fshape)], dim).reshape(chunk, B3)
-        s0, w0 = tsdf_c, weight_c
+    # Value at local+1 along a (neighbour face at the boundary), built
+    # with one slice+concat in the (chunk, ..., b, ...) view, then
+    # flattened back to (C, B3) for ALL arithmetic.
+    view = (chunk,) + (b,) * 3
+    sA = tsdf_c.reshape(view)
+    wA = weight_c.reshape(view)
+    sl = [slice(None)] * 4
+    sl[dim] = slice(1, None)
+    fshape = [chunk, b, b, b]
+    fshape[dim] = 1
+    s1 = jnp.concatenate(
+        [sA[tuple(sl)], s_nb.reshape(fshape)], dim).reshape(chunk, B3)
+    w1 = jnp.concatenate(
+        [wA[tuple(sl)], w_nb.reshape(fshape)], dim).reshape(chunk, B3)
+    s0, w0 = tsdf_c, weight_c
 
-        valid = ((w0 > 0) & (w1 > 0) & (s0 * s1 <= 0)
-                 & ~((s0 == 0) & (s1 == 0)))
-        denom = s0 - s1
-        t = jnp.clip(s0 / jnp.where(jnp.abs(denom) < 1e-20, 1.0, denom),
-                     0.0, 1.0)
+    valid = ((w0 > 0) & (w1 > 0) & (s0 * s1 <= 0)
+             & ~((s0 == 0) & (s1 == 0)))
+    denom = s0 - s1
+    t = jnp.clip(s0 / jnp.where(jnp.abs(denom) < 1e-20, 1.0, denom),
+                 0.0, 1.0)
 
-        # Camera z of each candidate is affine in (l_a + t): one fused pass
-        # on (C, B3) with (B3,) coordinate-constant broadcasts.
-        zc = ((w2c_R[2, col_o1] * (base[:, col_o1, None] + l_o1[None])
-               + w2c_R[2, col_o2] * (base[:, col_o2, None] + l_o2[None])
-               + w2c_R[2, a] * (base[:, a, None] + la[None] + t)) * vs
-              + w2c_t[2])
-        zc = jnp.where(valid & active512, zc, jnp.inf)
+    # Camera z of each candidate is affine in (l_a + t): one fused pass
+    # on (C, B3) with (B3,) coordinate-constant broadcasts.
+    zc = ((w2c_R[2, col_o1] * (base[:, col_o1, None] + l_o1[None])
+           + w2c_R[2, col_o2] * (base[:, col_o2, None] + l_o2[None])
+           + w2c_R[2, a] * (base[:, a, None] + la[None] + t)) * vs
+          + w2c_t[2])
+    zc = jnp.where(valid & active512, zc, jnp.inf)
 
-        # Nearest-to-camera crossing per column of axis a.
-        red = zc.reshape(view)
-        gmin = jnp.argmin(red, axis=dim)                       # (C, b, b)
-        oh = jnp.expand_dims(
-            jnp.arange(b), [d for d in range(3) if d != dim - 1]
-        )[None] == jnp.expand_dims(gmin, dim)
-        t_sel = jnp.sum(jnp.where(oh, t.reshape(view), 0.0), dim)
-        z_out = jnp.sum(jnp.where(oh, red, 0.0), dim)
-        any_valid = jnp.isfinite(z_out) & (z_out > 0)
-        gmin = gmin.reshape(chunk, b * b)
-        t_sel = t_sel.reshape(chunk, b * b)
-        z_out = z_out.reshape(chunk, b * b)
-        any_valid = any_valid.reshape(chunk, b * b)
+    # Nearest-to-camera crossing per column of axis a.
+    red = zc.reshape(view)
+    gmin = jnp.argmin(red, axis=dim)                       # (C, b, b)
+    oh = jnp.expand_dims(
+        jnp.arange(b), [d for d in range(3) if d != dim - 1]
+    )[None] == jnp.expand_dims(gmin, dim)
+    t_sel = jnp.sum(jnp.where(oh, t.reshape(view), 0.0), dim)
+    z_out = jnp.sum(jnp.where(oh, red, 0.0), dim)
+    any_valid = jnp.isfinite(z_out) & (z_out > 0)
+    gmin = gmin.reshape(chunk, b * b)
+    t_sel = t_sel.reshape(chunk, b * b)
+    z_out = z_out.reshape(chunk, b * b)
+    any_valid = any_valid.reshape(chunk, b * b)
 
-        # Selected surface point in world voxel units -> camera u, v.
-        ca = base[:, a, None] + gmin.astype(jnp.float32) + t_sel
-        c_o1 = base[:, col_o1, None] + o1.astype(jnp.float32)[None]
-        c_o2 = base[:, col_o2, None] + o2.astype(jnp.float32)[None]
-        p = [None, None, None]
-        p[a], p[col_o1], p[col_o2] = ca, c_o1, c_o2
-        xc = (w2c_R[0, 0] * p[0] + w2c_R[0, 1] * p[1]
-              + w2c_R[0, 2] * p[2]) * vs + w2c_t[0]
-        yc = (w2c_R[1, 0] * p[0] + w2c_R[1, 1] * p[1]
-              + w2c_R[1, 2] * p[2]) * vs + w2c_t[1]
-        z_safe = jnp.where(z_out <= 1e-6, 1.0, z_out)
-        u = jnp.round(fx * xc / z_safe + cx).astype(jnp.int32)
-        v = jnp.round(fy * yc / z_safe + cy).astype(jnp.int32)
-        ok = (any_valid & (z_out > cfg.min_depth)
-              & (u >= 0) & (u < W) & (v >= 0) & (v < H))
-        flats.append(jnp.where(ok, v * W + u, H * W).reshape(-1))
-        zs.append(jnp.where(ok, z_out, jnp.inf).reshape(-1))
+    # Selected surface point in world voxel units -> camera u, v.
+    ca = base[:, a, None] + gmin.astype(jnp.float32) + t_sel
+    c_o1 = base[:, col_o1, None] + o1.astype(jnp.float32)[None]
+    c_o2 = base[:, col_o2, None] + o2.astype(jnp.float32)[None]
+    p = [None, None, None]
+    p[a], p[col_o1], p[col_o2] = ca, c_o1, c_o2
+    xc = (w2c_R[0, 0] * p[0] + w2c_R[0, 1] * p[1]
+          + w2c_R[0, 2] * p[2]) * vs + w2c_t[0]
+    yc = (w2c_R[1, 0] * p[0] + w2c_R[1, 1] * p[1]
+          + w2c_R[1, 2] * p[2]) * vs + w2c_t[1]
+    z_safe = jnp.where(z_out <= 1e-6, 1.0, z_out)
+    u = jnp.round(fx * xc / z_safe + cx).astype(jnp.int32)
+    v = jnp.round(fy * yc / z_safe + cy).astype(jnp.int32)
+    ok = (any_valid & (z_out > cfg.min_depth)
+          & (u >= 0) & (u < W) & (v >= 0) & (v < H))
+    return (jnp.where(ok, v * W + u, H * W).reshape(-1),
+            jnp.where(ok, z_out, jnp.inf).reshape(-1))
 
+
+def _splat_core(cfg: TsdfConfig, zbuf, vol: TsdfVolume, pair_tab, K, w2c_R,
+                w2c_t, coords, tsdf_c, weight_c, slot_active, chunk: int,
+                H: int, W: int):
+    """Splat the zero-crossing surface points of ``chunk`` pool blocks:
+    3 x 64 = 192 scatter rows per block instead of the 512 of a per-voxel
+    shell splat (the scatter-min is ~40% of the splat cost on TPU, measured
+    147 M rows/s), and the emitted points sit ON the surface instead of up
+    to 1.5 voxels off. See _splat_axis_candidates for the per-axis math."""
+    flats, zs = [], []
+    for axis in range(3):
+        f, z = _splat_axis_candidates(cfg, vol, pair_tab, K, w2c_R, w2c_t,
+                                      coords, tsdf_c, weight_c, slot_active,
+                                      chunk, H, W, axis)
+        flats.append(f)
+        zs.append(z)
     flat = jnp.concatenate(flats)
     zval = jnp.concatenate(zs)
+    return zbuf.at[flat].min(zval, mode="drop")
+
+
+@partial(jax.jit, static_argnums=(0, 1))
+def _gather_block_rows(cfg: TsdfConfig, n_pad: int, vol: TsdfVolume, slots):
+    """Compact (tsdf, weight, coords, active) rows for the first ``n_pad``
+    entries of a sentinel-padded slot list in ONE dedicated gather program:
+    a 6144-row pool gather costs 0.36 ms as its own program vs ~1 ms/chunk
+    mixed into the splat programs (experiments/bench_slot_gather.py)."""
+    sl = jax.lax.dynamic_slice_in_dim(slots, 0, n_pad, 0)
+    safe = jnp.clip(sl, 0, cfg.pool_size - 1)
+    return (vol.tsdf[safe], vol.weight[safe], vol.block_coords[safe],
+            sl < cfg.pool_size)
+
+
+def _pad_sched(n: int, pool_size: int) -> int:
+    """Static padded size for the per-axis splat programs: fine 2048 steps
+    while small, 8192 steps beyond (bounds jit-variant count over a growing
+    pool at <=16% padded-compute waste)."""
+    m = 2048 if n <= 8192 else 8192
+    return min(-(-max(n, 1) // m) * m, pool_size)
+
+
+@partial(jax.jit, static_argnums=(0, 8, 9, 10, 11), donate_argnums=(1,))
+def _splat_axis_prog(cfg: TsdfConfig, zbuf, vol: TsdfVolume, pair_tab, K,
+                     w2c_R, w2c_t, rows, n_rows: int, H: int, W: int,
+                     axis: int):
+    """Single-axis splat over pre-gathered (surface-culled) block rows in
+    ONE program sized to the culled count: candidates + their scatter
+    fused. TPU programs carry ~1.5 ms fixed cost per invocation
+    (experiments/bench_scatter_fixed.py), so the first chunked design was
+    bound by program count; the interleaved A/B/C probe
+    (experiments/bench_splat_ab.py) picked 3 per-axis programs (median
+    10.95 ms) over one merged pad-to-max program (12.09) and the full
+    3-chunk walk (15.65) at 5.3k blocks."""
+    tsdf_c, weight_c, coords, active = rows
+    flat, zval = _splat_axis_candidates(cfg, vol, pair_tab, K, w2c_R, w2c_t,
+                                        coords, tsdf_c, weight_c, active,
+                                        n_rows, H, W, axis)
     return zbuf.at[flat].min(zval, mode="drop")
 
 
@@ -719,8 +906,13 @@ def _pair_table(vol: TsdfVolume, n: int, chunk: int):
     and f16x8 rows because the TPU gather unit moves them ~4x faster than
     f32x2 at equal row count (docs/PERF.md round 4); weights are integer
     counts <= max_weight, exact in f16."""
-    B3 = vol.tsdf.shape[1]
     P = min(-(-max(n, 1) // chunk) * chunk, vol.tsdf.shape[0])
+    return _pair_table_jit(P, vol)
+
+
+@partial(jax.jit, static_argnums=(0,))
+def _pair_table_jit(P: int, vol: TsdfVolume):
+    B3 = vol.tsdf.shape[1]
     tsdf_p = jax.lax.slice_in_dim(vol.tsdf, 0, P, axis=0)
     wgt_p = jax.lax.slice_in_dim(vol.weight, 0, P, axis=0)
     s_hi = tsdf_p.astype(jnp.float16)
@@ -733,7 +925,8 @@ def _pair_table(vol: TsdfVolume, n: int, chunk: int):
 def render_depth_splat(cfg: TsdfConfig, vol: TsdfVolume, K, cam_to_world,
                        H: int, W: int, chunk: int = 2048,
                        fill_rounds: int = 2, n_allocated: int = None,
-                       slots=None, n_visible: int = None):
+                       slots=None, n_visible: int = None,
+                       axis_slots=None, axis_counts=None):
     """Render the model depth by splatting per-column sdf zero crossings with
     a z-buffer (occlusion = scatter-min) instead of per-ray sphere tracing.
 
@@ -749,13 +942,26 @@ def render_depth_splat(cfg: TsdfConfig, vol: TsdfVolume, K, cam_to_world,
         cost then scales with the visible surface. Exact — out-of-frustum
         blocks cannot contribute to the z-buffer (their points project
         outside the image), which test_splat_culled_matches_full pins.
+    :param axis_slots: optional (3, pool_size) per-axis surface-culled slot
+        lists from surface_axis_slots with host counts ``axis_counts``
+        (len-3): each axis then splats only the blocks that can cross along
+        it — the fastest exact path (the backend uses this).
     :return: (H, W) depth, 0 where empty.
     """
     w2c_R, w2c_t, zbuf = _splat_init(cam_to_world, H, W)
     chunk = min(chunk, cfg.pool_size)
     n = int(vol.n_allocated) if n_allocated is None else n_allocated
     pair_tab = _pair_table(vol, n, chunk)
-    if slots is not None and n_visible is not None:
+    if axis_slots is not None and axis_counts is not None:
+        for axis in range(3):
+            c = int(axis_counts[axis])
+            if c == 0:
+                continue
+            c_pad = _pad_sched(c, cfg.pool_size)
+            rows = _gather_block_rows(cfg, c_pad, vol, axis_slots[axis])
+            zbuf = _splat_axis_prog(cfg, zbuf, vol, pair_tab, K, w2c_R,
+                                    w2c_t, rows, c_pad, H, W, axis)
+    elif slots is not None and n_visible is not None:
         slots = jnp.concatenate(
             [slots, jnp.full((chunk,), cfg.pool_size, jnp.int32)])
         for start in range(0, max(n_visible, 1), chunk):

@@ -25,7 +25,8 @@ import numpy as np
 
 from ..mapping.tsdf import (TsdfConfig, allocate_blocks, create_volume,
                             grow_volume, integrate, integrate_culled,
-                            raycast, render_depth_splat, visible_slots)
+                            raycast, render_depth_splat, surface_axis_slots,
+                            visible_slots)
 from ..mapping.mesh import extract_mesh
 from ..utils.timer import Timer
 
@@ -112,13 +113,8 @@ class TandemBackend:
             pose_r = jnp.asarray(next_ref_c2w)
             slots, n_vis = visible_slots(self.cfg, self.volume, Kj, pose,
                                          self.H, self.W)
-            # Second cull for the RENDER camera (the next tracking ref):
-            # the read-only splat scales with ITS visible surface.
-            slots_r, n_vis_r = visible_slots(self.cfg, self.volume, Kj,
-                                             pose_r, self.H, self.W)
-            n_alloc, n_vis, n_vis_r, n_drop = jax.device_get(
-                (self.volume.n_allocated, n_vis, n_vis_r,
-                 self.volume.n_dropped))
+            n_alloc, n_vis, n_drop = jax.device_get(
+                (self.volume.n_allocated, n_vis, self.volume.n_dropped))
             # Pool-exhaustion handling: the reference commits 10^6 blocks and
             # KERNEL_ABORTs when the heap runs dry (heap.cu:16-18); here the
             # pool DOUBLES on demand (slots are stable, growth is padding)
@@ -140,10 +136,8 @@ class TandemBackend:
                                               Kj, pose)
                 slots, n_vis = visible_slots(self.cfg, self.volume, Kj,
                                              pose, self.H, self.W)
-                slots_r, n_vis_r = visible_slots(self.cfg, self.volume, Kj,
-                                                 pose_r, self.H, self.W)
-                n_alloc, n_vis, n_vis_r, n_drop = jax.device_get(
-                    (self.volume.n_allocated, n_vis, n_vis_r,
+                n_alloc, n_vis, n_drop = jax.device_get(
+                    (self.volume.n_allocated, n_vis,
                      self.volume.n_dropped))
             self._n_alloc = int(n_alloc)
             n_vis = int(n_vis)
@@ -168,11 +162,20 @@ class TandemBackend:
             else:
                 self.volume = integrate_culled(self.cfg, self.volume, depth,
                                                rgb, Kj, pose, slots, n_vis)
+            # Render cull runs AFTER integrate (the surface flags read the
+            # fused sdf — this keyframe's fresh surface must splat). The
+            # per-axis surface cull cuts candidate math + scatter rows ~3x
+            # vs the frustum-only cull; the second (tiny) count fetch rides
+            # the backend thread, overlapped with VO.
+            n_pad = -(-max(self._n_alloc, 1) // 2048) * 2048
+            ax_slots, ax_counts = surface_axis_slots(
+                self.cfg, self.volume, Kj, pose_r, self.H, self.W, n_pad)
+            ax_counts = [int(c) for c in jax.device_get(ax_counts)]
             rdepth = render_depth_splat(self.cfg, self.volume, Kj, pose_r,
                                         self.H, self.W,
                                         n_allocated=self._n_alloc,
-                                        slots=slots_r,
-                                        n_visible=int(n_vis_r))
+                                        axis_slots=ax_slots,
+                                        axis_counts=ax_counts)
             # Keep the rendered depth device-resident: its only consumer is
             # the (jitted) splat into the next tracking reference.
             self.depth_map.write(rdepth, np.asarray(next_ref_c2w))

@@ -408,7 +408,8 @@ def test_pack_scan_split_precision():
     rng = np.random.RandomState(7)
     depth = jnp.asarray((0.1 + 9.8 * rng.rand(H, W)).astype(np.float32))
     color = jnp.asarray(rng.randint(0, 256, (H, W, 3)).astype(np.float32))
-    dc, _, _ = _pack_scan(depth, color, jnp.eye(4))
+    K, _ = _camera()
+    dc, _, _ = _pack_scan(depth, color, jnp.eye(4), K)
     assert dc.dtype == jnp.float16 and dc.shape == (H * W, 8)
     d_rec = (np.asarray(dc[:, 0], np.float32)
              + np.asarray(dc[:, 1], np.float32))
@@ -416,6 +417,15 @@ def test_pack_scan_split_precision():
     assert np.abs(d_rec - d_ref).max() <= d_ref.max() * 2.0 ** -21
     np.testing.assert_array_equal(np.asarray(dc[:, 2:5], np.float32),
                                   np.asarray(color).reshape(-1, 3))
+    # Lanes 5-6: split-precision per-pixel ray norm |K^-1 (u, v, 1)|.
+    Kn = np.asarray(K)
+    u, v = np.meshgrid(np.arange(W), np.arange(H))
+    ru = (u - Kn[0, 2]) / Kn[0, 0]
+    rv = (v - Kn[1, 2]) / Kn[1, 1]
+    n_ref = np.sqrt(ru * ru + rv * rv + 1.0).reshape(-1)
+    n_rec = (np.asarray(dc[:, 5], np.float32)
+             + np.asarray(dc[:, 6], np.float32))
+    assert np.abs(n_rec - n_ref).max() <= n_ref.max() * 2.0 ** -20
 
 
 def test_splat_culled_matches_full():
@@ -453,3 +463,55 @@ def test_splat_culled_matches_full():
                                   n_allocated=n_alloc, slots=slots,
                                   n_visible=int(n_vis))
         np.testing.assert_array_equal(np.asarray(full), np.asarray(cull))
+
+
+def test_splat_axis_culled_matches_full():
+    """The per-axis surface-culled splat (render_depth_splat with
+    axis_slots=) must equal the full-pool walk bit-exactly: a (block, axis)
+    pair is culled only when NO column of that axis can hold a crossing and
+    no face-straddling crossing with the +axis neighbour is possible
+    (surface_axis_slots is conservative by construction)."""
+    from tandem_tpu.mapping.tsdf import (render_depth_splat,
+                                         surface_axis_slots)
+
+    K, pose = _camera()
+    # Curved surface: crossings in all three axes, plus flat-wall regions
+    # where x/y columns have none (the culling must fire there).
+    u, v = np.meshgrid(np.arange(W), np.arange(H))
+    depth = jnp.asarray((2.0 + 0.5 * np.sin(u * 0.15) * np.cos(v * 0.12))
+                        .astype(np.float32))
+    color = jnp.broadcast_to(jnp.array([90.0, 120.0, 200.0]), (H, W, 3))
+    vol = create_volume(CFG)
+    vol = allocate_blocks(CFG, vol, depth, K, pose)
+    vol = integrate(CFG, vol, depth, color, K, pose)
+    # Second scan from an offset camera: face-straddling crossings and
+    # mixed-weight blocks.
+    p2 = np.eye(4, dtype=np.float32)
+    p2[:3, 3] = [0.15, -0.1, 0.3]
+    vol = allocate_blocks(CFG, vol, depth, K, jnp.asarray(p2))
+    vol = integrate(CFG, vol, depth, color, K, jnp.asarray(p2))
+    n_alloc = int(vol.n_allocated)
+    n_pad = -(-max(n_alloc, 1) // 1024) * 1024
+
+    def pose_at(tx, ty, tz):
+        p = np.eye(4, dtype=np.float32)
+        p[:3, 3] = [tx, ty, tz]
+        return jnp.asarray(p)
+
+    cases = [(K, pose), (K, pose_at(0.3, -0.2, 0.5)),
+             (K, pose_at(0.0, 0.0, 1.9))]
+    total = 0
+    for Kc, pc in cases:
+        slots3, counts3 = surface_axis_slots(CFG, vol, Kc, pc, H, W, n_pad)
+        counts = [int(c) for c in np.asarray(counts3)]
+        total += sum(counts)
+        full = render_depth_splat(CFG, vol, Kc, pc, H, W, chunk=1024,
+                                  n_allocated=n_alloc)
+        cull = render_depth_splat(CFG, vol, Kc, pc, H, W, chunk=1024,
+                                  n_allocated=n_alloc, axis_slots=slots3,
+                                  axis_counts=counts)
+        np.testing.assert_array_equal(np.asarray(full), np.asarray(cull))
+        # The cull must actually cull: strictly fewer (block, axis) pairs
+        # than the 3 * n_alloc of the full walk.
+        assert sum(counts) < 3 * n_alloc
+    assert total > 0
