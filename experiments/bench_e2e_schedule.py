@@ -16,9 +16,13 @@ frames at 640x480).
 """
 
 import json
+import os
+import sys
 import time
 
 import numpy as np
+
+sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
 
 N_FRAMES = 40
 KF_EVERY = 5
@@ -30,7 +34,8 @@ def main():
 
     from tandem_tpu.mapping.tsdf import (TsdfConfig, allocate_blocks,
                                          create_volume, integrate,
-                                         render_depth_splat, visible_slots)
+                                         render_depth_splat,
+                                         surface_axis_slots, visible_slots)
     from tandem_tpu.models.cva_mvsnet import CvaMVSNet
     from tandem_tpu.pipeline.full_system import _project_ba_points
     from tandem_tpu.pipeline.mvsnet_runner import (MvsnetRunner,
@@ -82,6 +87,14 @@ def main():
     vol = allocate_blocks(cfg, vol, depth_d, Kd, pose)
     n_pad = -(-max(int(vol.n_allocated), 1) // 2048) * 2048
 
+    from tandem_tpu.mapping.tsdf import integrate as _integ
+    vol_probe = _integ(cfg, jax.tree.map(jnp.copy, vol), depth_d, color_d,
+                       Kd, pose, n_allocated=n_pad)
+    from tandem_tpu.mapping.tsdf import surface_axis_slots as _sas
+    _, _c3 = _sas(cfg, vol_probe, Kd, pose, H, W, n_pad)
+    ax_counts = [int(c) for c in np.asarray(_c3)]
+    del vol_probe
+
     idepth0 = jnp.asarray((1.0 / depth_np).astype(np.float32))
     grid = np.zeros((H, W), np.float32)
     grid[::3, ::3] = 1.0
@@ -122,8 +135,11 @@ def main():
             slots, n_vis = visible_slots(cfg, vol, Kd, pose, H, W)
             vol = integrate(cfg, vol, depth_d, color_d, Kd, pose,
                             n_allocated=n_pad)
+            ax_slots, _ = surface_axis_slots(cfg, vol, Kd, pose, H, W,
+                                             n_pad)
             rd = render_depth_splat(cfg, vol, Kd, pose, H, W,
-                                    n_allocated=n_pad)
+                                    n_allocated=n_pad, axis_slots=ax_slots,
+                                    axis_counts=ax_counts)
             ref = make_tracker_ref(gray, fx, fx, (W - 1) / 2.0,
                                    (H - 1) / 2.0, dense_idepth=idepth0,
                                    dense_weight=grid_d)

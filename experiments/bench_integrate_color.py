@@ -59,13 +59,13 @@ def _integrate_chunk_comp(cfg, vol, depth_color, K, w2c_R, w2c_t, start,
     slot_active = ((start + jnp.arange(chunk)) < vol.n_allocated)[:, None]
 
     pix = jnp.where(in_img, v * img_w + u, 0).reshape(-1)
-    dc = depth_color[pix].reshape(chunk, B3, 4)
-    d_px = dc[..., 0]
+    dc = depth_color[pix].reshape(chunk, B3, 8)
+    d_px = dc[..., 0].astype(jnp.float32) + dc[..., 1].astype(jnp.float32)
     d_ok = (d_px > 0) & (d_px >= cfg.min_depth) & (d_px < cfg.max_depth)
 
-    ru = (u.astype(jnp.float32) - cx) / fx
-    rv = (v.astype(jnp.float32) - cy) / fy
-    surface_dist = d_px * jnp.sqrt(ru * ru + rv * rv + 1.0)
+    ray_norm = dc[..., 5].astype(jnp.float32) + dc[..., 6].astype(
+        jnp.float32)
+    surface_dist = d_px * ray_norm
     voxel_dist = jnp.sqrt(xc * xc + yc * yc + z * z)
 
     in_band = (voxel_dist > surface_dist - cfg.truncation) & \
@@ -80,7 +80,8 @@ def _integrate_chunk_comp(cfg, vol, depth_color, K, w2c_R, w2c_t, start,
     # occupancy, one stack at the end.
     inv = jnp.where(update, 1.0 / denom, 0.0)
     keep = jnp.where(update, weight_c / denom, 1.0)
-    comps = [keep * color_c[..., k] + inv * dc[..., 1 + k]
+    comps = [keep * color_c[..., k]
+             + inv * dc[..., 2 + k].astype(jnp.float32)
              for k in range(3)]
     color_n = jnp.stack(comps, axis=-1)
     weight_n = jnp.where(update, jnp.minimum(denom, cfg.max_weight), weight_c)

@@ -1,8 +1,9 @@
 """A/B/C the axis-culled splat program structure, interleaved with repeats.
 
-A: 3 per-axis programs (candidates + own scatter each)
-B: 1 merged program (3x candidates + single scatter)      [current]
+A: 3 gather + 3 per-axis programs (candidates + own scatter each)
 C: full splat (3 chunks x 3 axes, no surface cull)        [baseline]
+D: 1 merged gather + 3 per-axis programs, full render     [current]
+(B, one merged compute program, measured 12.09 vs A 10.95 and was cut)
 
 Single runs of the fusion breakdown swung 12.2 -> 14.0 -> 17.0 ms for the
 same work; this probe interleaves the variants and reports per-variant
@@ -75,14 +76,6 @@ def main():
                               rows, c_pad, H, W, axis)
         return zbuf
 
-    def variant_b():
-        zbuf = jnp.full((H * W,), jnp.inf)
-        slots_cat = jnp.concatenate(
-            [jax.lax.dynamic_slice_in_dim(ax_slots[a], 0, n_max, 0)
-             for a in range(3)])
-        rows = T._gather_block_rows(cfg, 3 * n_max, vol, slots_cat)
-        return T._splat_axes_prog(cfg, zbuf, vol, pair_tab, K, w2c_R,
-                                  w2c_t, rows, n_max, H, W)
 
     def variant_c():
         zbuf = jnp.full((H * W,), jnp.inf)
@@ -91,9 +84,14 @@ def main():
                                   w2c_t, start, chunk, H, W)
         return zbuf
 
-    variants = [("A 3-axis-progs", variant_a),
-                ("B merged-prog ", variant_b),
-                ("C full-chunks ", variant_c)]
+    def variant_d():
+        return T.render_depth_splat(cfg, vol, K, pose, H, W,
+                                    n_allocated=n, axis_slots=ax_slots,
+                                    axis_counts=counts)
+
+    variants = [("A 3g+3p       ", variant_a),
+                ("C full-chunks ", variant_c),
+                ("D 1g+3p (cur) ", variant_d)]
     results = {name: [] for name, _ in variants}
     for _ in range(5):
         for name, fn in variants:

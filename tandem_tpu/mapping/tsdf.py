@@ -209,11 +209,13 @@ def allocate_blocks(cfg: TsdfConfig, vol: TsdfVolume, depth, K, cam_to_world,
     n_first_total = jnp.sum(first.astype(jnp.int32))
 
     # Compact unique ids to the front. U bounds the NEW blocks one scan can
-    # introduce; a 640x480 band touching >64k new blocks (~420 m^2 of new
-    # surface in one frame) would exhaust the pool anyway — the overflow is
-    # counted into n_dropped below (conservatively: overflow uniques are
-    # counted as wanted even if some were already allocated).
-    U = min(cfg.pool_size, 1 << 16)
+    # introduce (16k blocks = ~105 m^2 of fresh surface in ONE frame; the
+    # densest first-frame fixture allocates ~5.5k) and sizes the table
+    # gather + two pool scatters below. Overflow is counted into n_dropped
+    # (conservatively: overflow uniques are counted as wanted even if some
+    # were already allocated), and the caller's grow/re-alloc loop re-runs
+    # allocate_blocks, which is idempotent and picks up U more each pass.
+    U = min(cfg.pool_size, 1 << 14)
     uniq = jnp.sort(jnp.where(first, s, T3))[:U]
     valid_u = uniq < T3
 
@@ -880,21 +882,23 @@ def _pad_sched(n: int, pool_size: int) -> int:
     return min(-(-max(n, 1) // m) * m, pool_size)
 
 
-@partial(jax.jit, static_argnums=(0, 8, 9, 10, 11), donate_argnums=(1,))
+@partial(jax.jit, static_argnums=(0, 8, 9, 10, 11, 12), donate_argnums=(1,))
 def _splat_axis_prog(cfg: TsdfConfig, zbuf, vol: TsdfVolume, pair_tab, K,
-                     w2c_R, w2c_t, rows, n_rows: int, H: int, W: int,
-                     axis: int):
-    """Single-axis splat over pre-gathered (surface-culled) block rows in
-    ONE program sized to the culled count: candidates + their scatter
-    fused. TPU programs carry ~1.5 ms fixed cost per invocation
-    (experiments/bench_scatter_fixed.py), so the first chunked design was
-    bound by program count; the interleaved A/B/C probe
+                     w2c_R, w2c_t, rows, start: int, n_rows: int, H: int,
+                     W: int, axis: int):
+    """Single-axis splat over the [start, start + n_rows) slice of
+    pre-gathered (surface-culled) block rows in ONE program: candidates +
+    their scatter fused. Scatter-bearing programs carry ~1.5 ms fixed cost
+    per invocation (experiments/bench_scatter_fixed.py), so the first
+    chunked design was bound by program count; the interleaved A/B/C probe
     (experiments/bench_splat_ab.py) picked 3 per-axis programs (median
     10.95 ms) over one merged pad-to-max program (12.09) and the full
     3-chunk walk (15.65) at 5.3k blocks."""
-    tsdf_c, weight_c, coords, active = rows
+    tsdf_s, weight_s, coords_s, active_s = rows
+    sl = slice(start, start + n_rows)
     flat, zval = _splat_axis_candidates(cfg, vol, pair_tab, K, w2c_R, w2c_t,
-                                        coords, tsdf_c, weight_c, active,
+                                        coords_s[sl], tsdf_s[sl],
+                                        weight_s[sl], active_s[sl],
                                         n_rows, H, W, axis)
     return zbuf.at[flat].min(zval, mode="drop")
 
@@ -953,14 +957,22 @@ def render_depth_splat(cfg: TsdfConfig, vol: TsdfVolume, K, cam_to_world,
     n = int(vol.n_allocated) if n_allocated is None else n_allocated
     pair_tab = _pair_table(vol, n, chunk)
     if axis_slots is not None and axis_counts is not None:
-        for axis in range(3):
-            c = int(axis_counts[axis])
-            if c == 0:
-                continue
-            c_pad = _pad_sched(c, cfg.pool_size)
-            rows = _gather_block_rows(cfg, c_pad, vol, axis_slots[axis])
-            zbuf = _splat_axis_prog(cfg, zbuf, vol, pair_tab, K, w2c_R,
-                                    w2c_t, rows, c_pad, H, W, axis)
+        c_max = max(int(c) for c in axis_counts)
+        if c_max > 0:
+            # ONE gather program for all three axes' rows (pad-to-max);
+            # per-axis COMPUTE programs stay separate (the merged-compute
+            # variant B scheduled worse, bench_splat_ab.py).
+            n_max = _pad_sched(c_max, cfg.pool_size)
+            slots_cat = jnp.concatenate(
+                [jax.lax.dynamic_slice_in_dim(axis_slots[a], 0, n_max, 0)
+                 for a in range(3)])
+            rows_cat = _gather_block_rows(cfg, 3 * n_max, vol, slots_cat)
+            for axis in range(3):
+                if int(axis_counts[axis]) == 0:
+                    continue
+                zbuf = _splat_axis_prog(cfg, zbuf, vol, pair_tab, K,
+                                        w2c_R, w2c_t, rows_cat,
+                                        axis * n_max, n_max, H, W, axis)
     elif slots is not None and n_visible is not None:
         slots = jnp.concatenate(
             [slots, jnp.full((chunk,), cfg.pool_size, jnp.int32)])

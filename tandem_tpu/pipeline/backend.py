@@ -153,10 +153,13 @@ class TandemBackend:
             # ADAPTIVE: when most of the map is in view the contiguous
             # full-pool walk wins — the culled path's slot indirection
             # (gather+scatter of block rows instead of dynamic slices)
-            # costs ~10 ms/KF at 6k blocks (experiments/
-            # bench_fusion_breakdown.py: culled 25.5 ms vs full 15.4) —
-            # both are exact (culled==full contract, test_tsdf).
-            if n_vis >= 0.7 * self._n_alloc:
+            # costs ~2x per block (experiments/bench_fusion_breakdown.py
+            # r5: culled 17.2 ms vs full 8.3 at 100% visibility) — both
+            # are exact (culled==full contract, test_tsdf).
+            # Crossover from the round-5 one-launch numbers: culled pays
+            # ~2.8 us/block (slot gather + scatter-back) vs the contiguous
+            # walk's ~1.35 us/block -> culled wins under ~0.5 visibility.
+            if n_vis >= 0.5 * self._n_alloc:
                 self.volume = integrate(self.cfg, self.volume, depth, rgb,
                                         Kj, pose, n_allocated=self._n_alloc)
             else:
