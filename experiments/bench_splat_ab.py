@@ -89,9 +89,36 @@ def main():
                                     n_allocated=n, axis_slots=ax_slots,
                                     axis_counts=counts)
 
+    from functools import partial as _p
+
+    @_p(jax.jit, static_argnums=(0, 7, 8, 9, 10))
+    def _cand_prog(cfgs, vol, pair_tab, Ks, R, t, rows, n_rows, Hh, Ww,
+                   axis):
+        tsdf_c, weight_c, coords, active = rows
+        return T._splat_axis_candidates(cfgs, vol, pair_tab, Ks, R, t,
+                                        coords, tsdf_c, weight_c, active,
+                                        n_rows, Hh, Ww, axis)
+
+    @_p(jax.jit, donate_argnums=(0,))
+    def _sct_prog(zbuf, f0, z0, f1, z1, f2, z2):
+        return zbuf.at[jnp.concatenate([f0, f1, f2])].min(
+            jnp.concatenate([z0, z1, z2]), mode="drop")
+
+    def variant_e():
+        zbuf = jnp.full((H * W,), jnp.inf)
+        fz = []
+        for axis in range(3):
+            c_pad = T._pad_sched(counts[axis], cfg.pool_size)
+            rows = T._gather_block_rows(cfg, c_pad, vol, ax_slots[axis])
+            fz.append(_cand_prog(cfg, vol, pair_tab, K, w2c_R, w2c_t,
+                                 rows, c_pad, H, W, axis))
+        return _sct_prog(zbuf, fz[0][0], fz[0][1], fz[1][0], fz[1][1],
+                         fz[2][0], fz[2][1])
+
     variants = [("A 3g+3p       ", variant_a),
                 ("C full-chunks ", variant_c),
-                ("D 1g+3p (cur) ", variant_d)]
+                ("D 1g+3p (cur) ", variant_d),
+                ("E 3cand+1sct  ", variant_e)]
     results = {name: [] for name, _ in variants}
     for _ in range(5):
         for name, fn in variants:

@@ -491,9 +491,12 @@ def _total_energy(state: BAState, images, K):
 
 
 @partial(jax.jit, static_argnums=(3,))
+@partial(jax.jit, static_argnums=(3, 4, 5))
 def ba_iterate(state: BAState, images, K, iters: int = 6,
                idepth_prior: float = 1e-1, newest_slot=None):
-    """Windowed LM with energy-based accept/reject.
+    """Windowed LM with energy-based accept/reject. One jitted program —
+    run eagerly this composition dispatched dozens of mini-programs and
+    measured 20 ms vs 12 jitted (the round-5 program-count law).
 
     Parity target: FullSystemOptimize.cpp:470-545 — solve, apply, compare
     total energy; accept -> lambda x0.25, reject -> revert + lambda x1e2;
