@@ -957,22 +957,19 @@ def render_depth_splat(cfg: TsdfConfig, vol: TsdfVolume, K, cam_to_world,
     n = int(vol.n_allocated) if n_allocated is None else n_allocated
     pair_tab = _pair_table(vol, n, chunk)
     if axis_slots is not None and axis_counts is not None:
-        c_max = max(int(c) for c in axis_counts)
-        if c_max > 0:
-            # ONE gather program for all three axes' rows (pad-to-max);
-            # per-axis COMPUTE programs stay separate (the merged-compute
-            # variant B scheduled worse, bench_splat_ab.py).
-            n_max = _pad_sched(c_max, cfg.pool_size)
-            slots_cat = jnp.concatenate(
-                [jax.lax.dynamic_slice_in_dim(axis_slots[a], 0, n_max, 0)
-                 for a in range(3)])
-            rows_cat = _gather_block_rows(cfg, 3 * n_max, vol, slots_cat)
-            for axis in range(3):
-                if int(axis_counts[axis]) == 0:
-                    continue
-                zbuf = _splat_axis_prog(cfg, zbuf, vol, pair_tab, K,
-                                        w2c_R, w2c_t, rows_cat,
-                                        axis * n_max, n_max, H, W, axis)
+        # Per-axis gather + compute programs, each sized to ITS culled
+        # count. Both merge attempts lost in interleaved medians/minima
+        # (bench_splat_ab.py): one merged COMPUTE program (variant B) and
+        # one shared pad-to-max gather feeding sliced axis programs
+        # (variant D) schedule worse than the simple per-axis structure.
+        for axis in range(3):
+            c = int(axis_counts[axis])
+            if c == 0:
+                continue
+            c_pad = _pad_sched(c, cfg.pool_size)
+            rows = _gather_block_rows(cfg, c_pad, vol, axis_slots[axis])
+            zbuf = _splat_axis_prog(cfg, zbuf, vol, pair_tab, K, w2c_R,
+                                    w2c_t, rows, 0, c_pad, H, W, axis)
     elif slots is not None and n_visible is not None:
         slots = jnp.concatenate(
             [slots, jnp.full((chunk,), cfg.pool_size, jnp.int32)])
