@@ -515,3 +515,41 @@ def test_splat_axis_culled_matches_full():
         # than the 3 * n_alloc of the full walk.
         assert sum(counts) < 3 * n_alloc
     assert total > 0
+
+
+def test_grow_then_axis_culled_splat():
+    """After grow_volume the pool shape (and so every jit signature keyed
+    on it) changes; the surface-culled render must stay bit-exact on the
+    grown volume — guards the _pad_sched/pool_size interplay."""
+    import dataclasses
+    from tandem_tpu.mapping.tsdf import (grow_volume, render_depth_splat,
+                                         surface_axis_slots)
+
+    K, pose = _camera()
+    u, v = np.meshgrid(np.arange(W), np.arange(H))
+    depth = jnp.asarray((2.0 + 0.5 * np.sin(u * 0.15) * np.cos(v * 0.12))
+                        .astype(np.float32))
+    color = jnp.full((H, W, 3), 100.0)
+
+    cfg = dataclasses.replace(CFG, pool_size=256, pool_max=8192)
+    vol = create_volume(cfg)
+    vol = allocate_blocks(cfg, vol, depth, K, pose)
+    for _ in range(8):
+        prev = int(vol.n_dropped)
+        cfg, vol = grow_volume(cfg, vol)
+        vol = allocate_blocks(cfg, vol, depth, K, pose)
+        if int(vol.n_dropped) == prev:
+            break
+    vol = integrate(cfg, vol, depth, color, K, pose)
+    n = int(vol.n_allocated)
+    assert n > 256  # the scene outgrew the initial pool
+    n_pad = -(-n // 1024) * 1024
+
+    slots3, counts3 = surface_axis_slots(cfg, vol, K, pose, H, W, n_pad)
+    counts = [int(c) for c in np.asarray(counts3)]
+    full = render_depth_splat(cfg, vol, K, pose, H, W, chunk=1024,
+                              n_allocated=n)
+    cull = render_depth_splat(cfg, vol, K, pose, H, W, chunk=1024,
+                              n_allocated=n, axis_slots=slots3,
+                              axis_counts=counts)
+    np.testing.assert_array_equal(np.asarray(full), np.asarray(cull))
